@@ -1,0 +1,224 @@
+"""End-to-end golden tests: full YUV420 frame transform vs the oracle
+pipeline, covering the five BASELINE.json config classes (at test scale)."""
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from tests.conftest import psnr
+from transform360_tpu import (
+    Transform360,
+    TransformConfig,
+    build_plan,
+    chroma_dims,
+    open_filter,
+    transform_batch,
+)
+from transform360_tpu import oracle
+from transform360_tpu.config import Interpolation, Layout, StereoFormat
+from transform360_tpu.pipeline import device_put_plan
+
+MONO = dict(
+    input_stereo_format=StereoFormat.MONO,
+    output_stereo_format=StereoFormat.MONO,
+)
+
+
+def make_yuv(rng, h, w):
+    yy, xx = np.mgrid[0:h, 0:w]
+    y = np.clip(
+        128 + 90 * np.sin(xx / 9.0) * np.cos(yy / 7.0) + rng.normal(0, 10, (h, w)),
+        0,
+        255,
+    ).astype(np.uint8)
+    cw, ch = chroma_dims(w, h)
+    u = np.clip(128 + 60 * np.sin(np.mgrid[0:ch, 0:cw][1] / 5.0), 0, 255).astype(
+        np.uint8
+    )
+    v = np.clip(128 + 60 * np.cos(np.mgrid[0:ch, 0:cw][0] / 4.0), 0, 255).astype(
+        np.uint8
+    )
+    return y, u, v
+
+
+def run_both(cfg, rng, in_w, in_h, out_w, out_h, min_db=50.0):
+    y, u, v = make_yuv(rng, in_h, in_w)
+    plan = device_put_plan(build_plan(cfg, in_w, in_h, out_w, out_h))
+    got = transform_batch(plan, y, u, v)
+    want = oracle.transform_frame_yuv420(cfg, (y, u, v), out_w, out_h)
+    for name, g, w_ in zip("YUV", got, want):
+        g = np.asarray(g)
+        assert g.shape == w_.shape, f"{name}: {g.shape} vs {w_.shape}"
+        db = psnr(g, w_)
+        assert db >= min_db, f"plane {name}: PSNR {db:.2f} dB < {min_db}"
+
+
+def test_baseline1_mono_bilinear_no_filter(rng):
+    """BASELINE config 1 (scaled down): mono equirect->cubemap, bilinear."""
+    cfg = TransformConfig(
+        interpolation_alg=Interpolation.LINEAR,
+        enable_low_pass_filter=0,
+        **MONO,
+    )
+    run_both(cfg, rng, 256, 128, 96, 64)
+
+
+def test_baseline2_cubic_full_planes(rng):
+    """BASELINE config 2: cubic interpolation, full 3-plane YUV420."""
+    cfg = TransformConfig(
+        interpolation_alg=Interpolation.CUBIC, enable_low_pass_filter=0, **MONO
+    )
+    run_both(cfg, rng, 512, 256, 192, 128)
+
+
+def test_baseline3_adaptive_prefilter(rng):
+    """BASELINE config 3 (scaled down): adaptive prefilter with many
+    segments and adjust_kernel=1."""
+    cfg = TransformConfig(
+        interpolation_alg=Interpolation.LINEAR,
+        enable_low_pass_filter=1,
+        num_vertical_segments=9,
+        num_horizontal_segments=5,
+        adjust_kernel=1,
+        **MONO,
+    )
+    run_both(cfg, rng, 256, 128, 48, 32, min_db=48.0)
+
+
+def test_baseline4_stereo_tb(rng):
+    """BASELINE config 4: TB stereo input, per-eye maps."""
+    cfg = TransformConfig(
+        input_stereo_format=StereoFormat.TB,
+        output_stereo_format=StereoFormat.TB,
+        interpolation_alg=Interpolation.LINEAR,
+        enable_low_pass_filter=0,
+    )
+    run_both(cfg, rng, 256, 256, 96, 128)
+
+
+def test_baseline4_stereo_lr(rng):
+    cfg = TransformConfig(
+        input_stereo_format=StereoFormat.LR,
+        output_stereo_format=StereoFormat.LR,
+        interpolation_alg=Interpolation.LINEAR,
+        enable_low_pass_filter=0,
+    )
+    run_both(cfg, rng, 512, 128, 192, 64)
+
+
+def test_baseline5_batched(rng):
+    """BASELINE config 5: batched multi-frame transform equals per-frame."""
+    cfg = TransformConfig(
+        interpolation_alg=Interpolation.LINEAR, enable_low_pass_filter=0, **MONO
+    )
+    frames = [make_yuv(rng, 128, 256) for _ in range(4)]
+    plan = device_put_plan(build_plan(cfg, 256, 128, 96, 64))
+    yb = np.stack([f[0] for f in frames])
+    ub = np.stack([f[1] for f in frames])
+    vb = np.stack([f[2] for f in frames])
+    oy, ou, ov = transform_batch(plan, yb, ub, vb)
+    for k, (y, u, v) in enumerate(frames):
+        sy, su, sv = transform_batch(plan, y, u, v)
+        np.testing.assert_array_equal(np.asarray(oy)[k], np.asarray(sy))
+        np.testing.assert_array_equal(np.asarray(ou)[k], np.asarray(su))
+        np.testing.assert_array_equal(np.asarray(ov)[k], np.asarray(sv))
+
+
+def test_supersampling_path(rng):
+    """width/height scale factors: remap to scaled size then INTER_AREA."""
+    cfg = TransformConfig(
+        interpolation_alg=Interpolation.LINEAR,
+        enable_low_pass_filter=0,
+        width_scale_factor=2.0,
+        height_scale_factor=2.0,
+        **MONO,
+    )
+    run_both(cfg, rng, 256, 128, 96, 64, min_db=48.0)
+
+
+def test_barrel_full_pipeline(rng):
+    cfg = TransformConfig(
+        output_layout=Layout.BARREL,
+        interpolation_alg=Interpolation.LINEAR,
+        enable_low_pass_filter=0,
+        **MONO,
+    )
+    run_both(cfg, rng, 256, 128, 100, 40, min_db=45.0)
+
+
+def test_lanczos_full_pipeline(rng):
+    cfg = TransformConfig(
+        interpolation_alg=Interpolation.LANCZOS4, enable_low_pass_filter=0, **MONO
+    )
+    run_both(cfg, rng, 256, 128, 96, 64, min_db=48.0)
+
+
+def test_default_config_end_to_end(rng):
+    """The filter's true defaults: cubic + low-pass with 5 segments."""
+    cfg = TransformConfig(**MONO)
+    run_both(cfg, rng, 256, 128, 96, 64, min_db=48.0)
+
+
+def test_api_open_filter(rng):
+    t = open_filter(
+        "cube_edge_length=32:input_stereo_format=mono:interpolation_alg=linear:"
+        "enable_low_pass_filter=0",
+        256,
+        128,
+    )
+    assert t.output_dims() == (96, 64)
+    y, u, v = make_yuv(rng, 128, 256)
+    oy, ou, ov = t.transform(y, u, v)
+    assert oy.shape == (64, 96)
+    assert ou.shape == (32, 48)
+    want = oracle.transform_frame_yuv420(t.plan.cfg, (y, u, v), 96, 64)
+    assert psnr(oy, want[0]) >= 50.0
+
+
+def test_api_lazy_map_generation(rng):
+    cfg = TransformConfig(
+        interpolation_alg=Interpolation.LINEAR, enable_low_pass_filter=0, **MONO
+    )
+    t = Transform360(cfg, out_w=96, out_h=64)
+    assert t.plan is None
+    y, u, v = make_yuv(rng, 128, 256)
+    t.transform(y, u, v)  # lazy generation on first frame
+    assert t.plan is not None
+
+
+def test_plan_save_load(tmp_path, rng):
+    cfg = TransformConfig(
+        interpolation_alg=Interpolation.LINEAR, enable_low_pass_filter=0, **MONO
+    )
+    t = open_filter(
+        "cube_edge_length=32:input_stereo_format=mono:interpolation_alg=linear:"
+        "enable_low_pass_filter=0",
+        256,
+        128,
+    )
+    p = tmp_path / "plan.pkl"
+    t.save_plan(str(p))
+    t2 = Transform360(cfg)
+    t2.load_plan(str(p))
+    y, u, v = make_yuv(rng, 128, 256)
+    a = t.transform(y, u, v)
+    b = t2.transform(y, u, v)
+    for x, z in zip(a, b):
+        np.testing.assert_array_equal(x, z)
+
+
+def test_plane_level_api(rng):
+    """transform_frame_plane mirrors the C ABI single-plane entry."""
+    t = open_filter(
+        "cube_edge_length=32:input_stereo_format=mono:interpolation_alg=linear:"
+        "enable_low_pass_filter=0",
+        256,
+        128,
+    )
+    y, u, v = make_yuv(rng, 128, 256)
+    full = t.transform(y, u, v)
+    py = t.transform_frame_plane(y, 0, 256, 128)
+    pu = t.transform_frame_plane(u, 1, 256, 128)
+    np.testing.assert_array_equal(full[0], py)
+    np.testing.assert_array_equal(full[1], pu)

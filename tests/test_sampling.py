@@ -1,0 +1,135 @@
+"""Resampler golden tests: the TPU gather/interpolate path vs cv2.remap on
+identical warp maps (oracle sampler == the reference's sampler)."""
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+import jax.numpy as jnp
+
+from tests.conftest import psnr
+from transform360_tpu import geometry
+from transform360_tpu.config import Interpolation, Layout, StereoFormat, TransformConfig
+from transform360_tpu.sampling import (
+    apply_area_resize,
+    area_matrix,
+    make_sample_spec,
+    remap_plane,
+)
+
+MONO = dict(
+    input_stereo_format=StereoFormat.MONO,
+    output_stereo_format=StereoFormat.MONO,
+)
+
+
+def run_remap(spec, plane_u8):
+    x = jnp.asarray(plane_u8, jnp.float32)[..., None]  # [H, W, 1]
+    out = remap_plane(
+        spec,
+        jnp.asarray(spec.base_y),
+        jnp.asarray(spec.base_x),
+        jnp.asarray(spec.frac_y),
+        jnp.asarray(spec.frac_x),
+        None if spec.valid is None else jnp.asarray(spec.valid),
+        x,
+        0.0,
+    )
+    out = jnp.clip(jnp.floor(out + 0.5), 0, 255).astype(jnp.uint8)
+    return np.asarray(out[..., 0])
+
+
+def make_image(rng, h, w):
+    # smooth-ish + texture: realistic for interpolation comparisons
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = (
+        128
+        + 80 * np.sin(xx / 7.0)
+        + 40 * np.cos(yy / 5.0)
+        + rng.normal(0, 12, (h, w))
+    )
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+@pytest.mark.parametrize(
+    "interp,min_db",
+    [
+        (Interpolation.NEAREST, 100.0),  # must match exactly (inf PSNR)
+        (Interpolation.LINEAR, 50.0),
+        (Interpolation.CUBIC, 50.0),
+        (Interpolation.LANCZOS4, 48.0),
+    ],
+)
+def test_remap_matches_cv2(rng, interp, min_db):
+    in_h, in_w = 64, 128
+    cfg = TransformConfig(interpolation_alg=interp, **MONO)
+    warp = np.asarray(geometry.build_warp_map(cfg, in_w, in_h, 96, 64))
+    img = make_image(rng, in_h, in_w)
+
+    want = cv2.remap(
+        img, warp[..., 0], warp[..., 1], int(interp), borderMode=cv2.BORDER_WRAP
+    )
+    spec = make_sample_spec(warp, in_w, in_h, interp, wrap=True)
+    got = run_remap(spec, img)
+    db = psnr(got, want)
+    assert db >= min_db, f"{interp.name}: PSNR {db:.2f} dB"
+    if interp == Interpolation.NEAREST:
+        assert np.array_equal(got, want)
+
+
+def test_remap_barrel_transparent(rng):
+    in_h, in_w = 64, 128
+    cfg = TransformConfig(
+        output_layout=Layout.BARREL,
+        interpolation_alg=Interpolation.LINEAR,
+        **MONO,
+    )
+    warp = np.asarray(geometry.build_warp_map(cfg, in_w, in_h, 100, 40))
+    img = make_image(rng, in_h, in_w)
+    want = np.zeros((40, 100), np.uint8)
+    want = cv2.remap(
+        img,
+        warp[..., 0],
+        warp[..., 1],
+        cv2.INTER_LINEAR,
+        dst=want,
+        borderMode=cv2.BORDER_TRANSPARENT,
+    )
+    spec = make_sample_spec(warp, in_w, in_h, Interpolation.LINEAR, wrap=False)
+    got = run_remap(spec, img)
+    db = psnr(got, want)
+    assert db >= 45.0, f"barrel transparent PSNR {db:.2f} dB"
+
+
+def test_seam_wrap_continuity(rng):
+    """BORDER_WRAP at the ±π seam: taps past the right edge read column 0."""
+    in_h, in_w = 32, 64
+    img = make_image(rng, in_h, in_w)
+    # synthetic map pointing exactly at the seam (x = in_w - 0.5 + eps)
+    warp = np.zeros((4, 4, 2), np.float32)
+    warp[..., 0] = in_w - 0.25
+    warp[..., 1] = 10.0
+    want = cv2.remap(
+        img, warp[..., 0], warp[..., 1], cv2.INTER_LINEAR, borderMode=cv2.BORDER_WRAP
+    )
+    spec = make_sample_spec(warp, in_w, in_h, Interpolation.LINEAR, wrap=True)
+    got = run_remap(spec, img)
+    np.testing.assert_allclose(
+        got.astype(int), want.astype(int), atol=1
+    )
+
+
+@pytest.mark.parametrize("n_in,n_out", [(96, 48), (100, 40), (97, 41), (50, 75)])
+def test_area_matrix_matches_cv2(rng, n_in, n_out):
+    img = make_image(rng, n_in, n_in)
+    want = cv2.resize(img, (n_out, n_out), interpolation=cv2.INTER_AREA)
+    R = area_matrix(n_in, n_out)
+    C = area_matrix(n_in, n_out)
+    x = jnp.asarray(img, jnp.float32)[..., None]
+    got = apply_area_resize(x, jnp.asarray(R), jnp.asarray(C))
+    got = np.asarray(
+        jnp.clip(jnp.floor(got + 0.5), 0, 255).astype(jnp.uint8)
+    )[..., 0]
+    db = psnr(got, want)
+    assert db >= 48.0, f"area {n_in}->{n_out}: PSNR {db:.2f} dB"

@@ -1,0 +1,140 @@
+"""Public API: the TPU-native equivalent of the reference's two entry layers.
+
+* :class:`Transform360` mirrors the stable C ABI surface
+  (``VideoFrameTransformHandler.h:24-47``): construct from a config,
+  generate maps per plane class, transform plane buffers.  Map generation
+  is lazy-on-first-frame for drop-in behavioral parity
+  (``vf_transform360.c:338-352``) but can be forced eagerly.
+* :func:`open_filter` mirrors the FFmpeg filter shell: it takes the
+  ffmpeg-style option string (``vf_transform360.c:407-987``), performs the
+  output-geometry negotiation of ``config_output``
+  (``vf_transform360.c:167-304``), and returns a ready Transform360.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from .config import (
+    FilterOptions,
+    StereoFormat,
+    TransformConfig,
+    chroma_dims,
+    negotiate_output_geometry,
+    parse_options,
+    resolve_stereo_formats,
+)
+from .pipeline import device_put_plan, transform_batch, transform_plane
+from .plan import TransformPlan, build_plan, load_plan, save_plan
+
+
+class Transform360:
+    """Stateful transform engine for one (config, input-size, output-size).
+
+    State parallels ``VideoFrameTransform`` (``VideoFrameTransform.h:147-159``):
+    the immutable config copy plus the cached plan (warp maps + kernel bank).
+    """
+
+    def __init__(
+        self,
+        config: TransformConfig,
+        out_w: Optional[int] = None,
+        out_h: Optional[int] = None,
+    ):
+        config.validate()
+        self._cfg = config
+        self._out_w = out_w
+        self._out_h = out_h
+        self._plan: Optional[TransformPlan] = None
+
+    @property
+    def config(self) -> TransformConfig:
+        return self._cfg
+
+    @property
+    def plan(self) -> Optional[TransformPlan]:
+        return self._plan
+
+    def generate_map(self, in_w: int, in_h: int) -> TransformPlan:
+        """Build (and cache on device) the warp maps + filter plan for
+        this input size — the ``generateMapForPlane`` analog, covering both
+        map planes at once."""
+        if self._out_w is None or self._out_h is None:
+            raise ValueError("output size not set; use open_filter or pass out_w/out_h")
+        cfg = self._cfg
+        if StereoFormat.GUESS in (cfg.input_stereo_format, cfg.output_stereo_format):
+            in_fmt, out_fmt = resolve_stereo_formats(cfg, in_w, in_h)
+            cfg = cfg.replace(
+                input_stereo_format=in_fmt, output_stereo_format=out_fmt
+            )
+        plan = build_plan(cfg, in_w, in_h, self._out_w, self._out_h)
+        self._plan = device_put_plan(plan)
+        return self._plan
+
+    def _ensure_plan(self, in_w: int, in_h: int) -> TransformPlan:
+        if (
+            self._plan is None
+            or self._plan.in_w != in_w
+            or self._plan.in_h != in_h
+        ):
+            self.generate_map(in_w, in_h)
+        return self._plan
+
+    def transform(
+        self, y, u, v
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Transform one frame or a batch of YUV420 frames.
+
+        ``y``: uint8 [H, W] or [B, H, W]; ``u``/``v`` the ceil-halved chroma
+        planes.  Maps are generated lazily on the first frame, like the
+        reference filter.  Returns numpy uint8 planes.
+        """
+        y = jnp.asarray(y)
+        in_h, in_w = y.shape[-2:]
+        plan = self._ensure_plan(in_w, in_h)
+        oy, ou, ov = transform_batch(plan, y, jnp.asarray(u), jnp.asarray(v))
+        return np.asarray(oy), np.asarray(ou), np.asarray(ov)
+
+    def transform_frame_plane(
+        self, plane, map_plane_index: int, in_w: int, in_h: int
+    ) -> np.ndarray:
+        """Single-plane raw-buffer entry, mirroring
+        ``VideoFrameTransform_transformFramePlane``
+        (``VideoFrameTransformHandler.h:36-47``)."""
+        plane = np.asarray(plane)
+        if map_plane_index == 0:
+            self._ensure_plan(in_w, in_h)
+        elif self._plan is None:
+            raise RuntimeError("generate luma map before transforming chroma planes")
+        return np.asarray(
+            transform_plane(self._plan, plane, map_plane_index)
+        )
+
+    def output_dims(self) -> Tuple[int, int]:
+        return self._out_w, self._out_h
+
+    def save_plan(self, path: str) -> None:
+        if self._plan is None:
+            raise RuntimeError("no plan to save; call generate_map first")
+        save_plan(self._plan, path)
+
+    def load_plan(self, path: str) -> None:
+        plan = load_plan(path)
+        self._plan = device_put_plan(plan)
+        self._out_w, self._out_h = plan.out_w, plan.out_h
+
+
+def open_filter(
+    options: str, in_w: int, in_h: int, eager: bool = True
+) -> Transform360:
+    """FFmpeg-shell analog: parse the option string, negotiate output
+    geometry against the input size, and return a ready engine."""
+    opts = parse_options(options)
+    out_w, out_h, cfg = negotiate_output_geometry(opts, in_w, in_h)
+    t = Transform360(cfg, out_w, out_h)
+    if eager:
+        t.generate_map(in_w, in_h)
+    return t

@@ -1,0 +1,308 @@
+"""Warp resampling — the TPU-native replacement for ``cv::remap``.
+
+The reference resamples each plane with ``cv::remap`` using the cached warp
+map, OpenCV interpolation codes, and BORDER_WRAP (BORDER_TRANSPARENT with
+pre-filled Y=0/UV=128 for barrel layouts), optionally followed by a
+``cv::resize`` INTER_AREA downscale when supersampling
+(``VideoFrameTransform.cpp:706-794``).
+
+TPU design:
+
+* Plan time (:func:`make_sample_spec`, host numpy): the static warp map is
+  quantized to OpenCV's 1/32-pixel fixed-point grid (``INTER_BITS == 5`` —
+  cv::convertMaps rounds ``map*32``), split into integer base indices and
+  fractional parts, and border handling (wrap/clamp+mask) is resolved.
+* Run time (:func:`remap_plane`, jitted): frames are laid out batch-minor
+  ``[H, W, B]`` so every gather fetches a contiguous ``B``-lane row — the
+  gather vectorizes across the batch instead of scalar per-pixel fetches.
+  Interpolation weights are recomputed on the fly from the fractions
+  (cheap VPU math, fuses into the gather consumer; no HBM weight tensors).
+* INTER_AREA downscale becomes two plan-time matrices applied as matmuls
+  (MXU) — see :func:`area_matrix`.
+
+Interpolation kernels match OpenCV's: bilinear, bicubic a=-0.75, and the
+8-tap Lanczos4 (transcribed from OpenCV ``interpolateLanczos4``), so output
+parity vs the reference pipeline holds to the fixed-point table rounding.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from .config import Interpolation
+
+INTER_BITS = 5  # OpenCV fixed-point fraction bits for remap
+INTER_TAB_SIZE = 1 << INTER_BITS
+
+_TAPS = {
+    Interpolation.NEAREST: 1,
+    Interpolation.LINEAR: 2,
+    Interpolation.CUBIC: 4,
+    Interpolation.LANCZOS4: 8,
+}
+
+# Tap offset of the first tap relative to floor(coord):
+_FIRST_TAP = {
+    Interpolation.NEAREST: 0,
+    Interpolation.LINEAR: 0,
+    Interpolation.CUBIC: -1,
+    Interpolation.LANCZOS4: -3,
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class SampleSpec:
+    """Plan-time resampling arrays for one plane class.
+
+    ``base_y``/``base_x`` are the *first-tap* indices (already offset for
+    the kernel support and border-resolved is left to runtime); ``frac_*``
+    are the 1/32-quantized fractional positions in [0, 1).  ``valid`` is
+    None for wrapping layouts, else the transparent-border mask.
+    """
+
+    base_y: np.ndarray  # int32 [H', W']
+    base_x: np.ndarray  # int32 [H', W']
+    frac_y: np.ndarray  # float32 [H', W']
+    frac_x: np.ndarray  # float32 [H', W']
+    valid: Optional[np.ndarray]  # bool [H', W'] or None
+    in_w: int
+    in_h: int
+    interp: Interpolation
+    wrap: bool  # True: BORDER_WRAP; False: clamp taps + transparent fill
+
+
+def make_sample_spec(
+    warp: np.ndarray,
+    in_w: int,
+    in_h: int,
+    interp: Interpolation,
+    wrap: bool,
+) -> SampleSpec:
+    """Build the spec from a float32 warp map [H', W', 2] (x, y channels).
+
+    Quantization parity with cv::convertMaps: coordinates are rounded to
+    1/32 px (``rint(map * 32)``); NEAREST rounds to the integer grid
+    directly.
+    """
+    map_x = np.asarray(warp[..., 0], np.float64)
+    map_y = np.asarray(warp[..., 1], np.float64)
+
+    valid = None
+    if not wrap:
+        # Unmapped barrel pixels carry the outside marker outX=-1 →
+        # map_x == -in_w - 0.5 (VideoFrameTransform.cpp:1304-1307, :544).
+        valid = map_x > -1.0
+
+    if interp == Interpolation.NEAREST:
+        base_x = np.rint(map_x).astype(np.int64)
+        base_y = np.rint(map_y).astype(np.int64)
+        frac_x = np.zeros(map_x.shape, np.float32)
+        frac_y = np.zeros(map_y.shape, np.float32)
+    else:
+        sx = np.rint(map_x * INTER_TAB_SIZE).astype(np.int64)
+        sy = np.rint(map_y * INTER_TAB_SIZE).astype(np.int64)
+        base_x = sx >> INTER_BITS
+        base_y = sy >> INTER_BITS
+        frac_x = ((sx & (INTER_TAB_SIZE - 1)) / INTER_TAB_SIZE).astype(np.float32)
+        frac_y = ((sy & (INTER_TAB_SIZE - 1)) / INTER_TAB_SIZE).astype(np.float32)
+
+    first = _FIRST_TAP[interp]
+    base_x = base_x + first
+    base_y = base_y + first
+
+    if wrap:
+        # Resolve the wrap on the base index at plan time; runtime taps
+        # only need (base + u) % n which we fold via precomputed modulo.
+        base_x = np.mod(base_x, in_w)
+        base_y = np.mod(base_y, in_h)
+    else:
+        # clamp so that all taps stay addressable; invalid pixels are
+        # masked to the fill value at the end.
+        base_x = np.clip(base_x, -(_TAPS[interp] - 1), in_w - 1)
+        base_y = np.clip(base_y, -(_TAPS[interp] - 1), in_h - 1)
+
+    return SampleSpec(
+        base_y=base_y.astype(np.int32),
+        base_x=base_x.astype(np.int32),
+        frac_y=frac_y,
+        frac_x=frac_x,
+        valid=valid,
+        in_w=in_w,
+        in_h=in_h,
+        interp=interp,
+        wrap=wrap,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Interpolation weights (computed in-jit from fractions; all match OpenCV)
+# ---------------------------------------------------------------------------
+
+
+def _weights_linear(f):
+    return [1.0 - f, f]
+
+
+def _weights_cubic(f):
+    """OpenCV interpolateCubic, A = -0.75."""
+    A = -0.75
+    w0 = ((A * (f + 1) - 5 * A) * (f + 1) + 8 * A) * (f + 1) - 4 * A
+    w1 = ((A + 2) * f - (A + 3)) * f * f + 1
+    g = 1.0 - f
+    w2 = ((A + 2) * g - (A + 3)) * g * g + 1
+    w3 = 1.0 - w0 - w1 - w2
+    return [w0, w1, w2, w3]
+
+
+_S45 = 0.70710678118654752440084436210485
+_LANCZOS_CS = (
+    (1, 0),
+    (-_S45, -_S45),
+    (0, 1),
+    (_S45, -_S45),
+    (-1, 0),
+    (_S45, _S45),
+    (0, -1),
+    (-_S45, _S45),
+)
+
+
+def _weights_lanczos4(f):
+    """OpenCV interpolateLanczos4: 8 taps via the sin/cos phase trick,
+    normalized to sum 1; degenerate f≈0 falls back to the center tap."""
+    y0 = -(f + 3.0) * (math.pi * 0.25)
+    s0 = jnp.sin(y0)
+    c0 = jnp.cos(y0)
+    ws = []
+    for k in range(8):
+        y = -(f + 3.0 - k) * (math.pi * 0.25)
+        ws.append((_LANCZOS_CS[k][0] * s0 + _LANCZOS_CS[k][1] * c0) / (y * y))
+    total = sum(ws[1:], ws[0])
+    ws = [w / total for w in ws]
+    # f == 0 exactly → y for k=3 is 0 → NaN; OpenCV special-cases it.
+    exact = f < 1e-7
+    out = []
+    for k in range(8):
+        center = jnp.where(exact, 1.0 if k == 3 else 0.0, ws[k])
+        out.append(center)
+    return out
+
+
+def _tap_weights(interp: Interpolation, f):
+    if interp == Interpolation.NEAREST:
+        return [jnp.ones_like(f)]
+    if interp == Interpolation.LINEAR:
+        return _weights_linear(f)
+    if interp == Interpolation.CUBIC:
+        return _weights_cubic(f)
+    if interp == Interpolation.LANCZOS4:
+        return _weights_lanczos4(f)
+    raise ValueError(interp)
+
+
+def remap_plane(
+    spec: SampleSpec,
+    base_y,
+    base_x,
+    frac_y,
+    frac_x,
+    valid,
+    plane: jnp.ndarray,
+    fill: float,
+) -> jnp.ndarray:
+    """Resample one batched plane.
+
+    ``plane``: float32 [H, W, B] (batch-minor). Returns [H', W', B].
+    The spec's arrays are passed in as traced leaves (``base_*`` etc.) so
+    the same compiled code serves every plan of identical geometry; the
+    ``spec`` itself only supplies static structure (tap count, border mode).
+
+    Each of the ``taps²`` terms is one row-gather of a [H'*W', B] block —
+    contiguous lanes, no scalar fetches.
+    """
+    H, W = spec.in_h, spec.in_w
+    T = _TAPS[spec.interp]
+    flat = plane.reshape(H * W, -1)
+
+    wy = _tap_weights(spec.interp, frac_y)
+    wx = _tap_weights(spec.interp, frac_x)
+
+    acc = None
+    for ty in range(T):
+        yy = base_y + ty
+        if spec.wrap:
+            yy = jnp.where(yy >= H, yy - H, yy)  # base pre-wrapped; tap < 2H
+        else:
+            yy = jnp.clip(yy, 0, H - 1)
+        row = yy * W
+        for tx in range(T):
+            xx = base_x + tx
+            if spec.wrap:
+                xx = jnp.where(xx >= W, xx - W, xx)
+            else:
+                xx = jnp.clip(xx, 0, W - 1)
+            idx = (row + xx).reshape(-1)
+            g = jnp.take(flat, idx, axis=0)
+            w = (wy[ty] * wx[tx]).reshape(-1, 1)
+            term = w * g
+            acc = term if acc is None else acc + term
+
+    out = acc.reshape(frac_y.shape + (plane.shape[-1],))
+    if valid is not None:
+        out = jnp.where(valid[..., None], out, jnp.float32(fill))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# INTER_AREA downscale as plan-time matrices (supersampling epilogue,
+# VideoFrameTransform.cpp:735-777)
+# ---------------------------------------------------------------------------
+
+
+def area_matrix(n_in: int, n_out: int) -> np.ndarray:
+    """Row matrix M [n_out, n_in] such that ``out = M @ in`` equals
+    cv::resize INTER_AREA along one axis.
+
+    Downscale (n_in >= n_out): box integral with fractional edge weights.
+    Upscale: OpenCV falls back to bilinear for INTER_AREA enlargement; we
+    build the matching bilinear matrix.
+    """
+    M = np.zeros((n_out, n_in), np.float32)
+    if n_in >= n_out:
+        scale = n_in / n_out
+        for i in range(n_out):
+            lo = i * scale
+            hi = (i + 1) * scale
+            j0 = int(math.floor(lo))
+            j1 = int(math.ceil(hi))
+            for j in range(j0, min(j1, n_in)):
+                w = min(hi, j + 1) - max(lo, j)
+                M[i, j] = w / scale
+    else:
+        # Enlargement: OpenCV's INTER_AREA upscale branch computes its own
+        # (non-centered) linear coefficients:
+        #   sx = floor(dx*scale); fx = (dx+1) - (sx+1)*inv_scale;
+        #   fx = fx <= 0 ? 0 : fx - floor(fx)
+        scale = n_in / n_out
+        inv_scale = n_out / n_in
+        for i in range(n_out):
+            j0 = int(math.floor(i * scale))
+            f = (i + 1) - (j0 + 1) * inv_scale
+            f = 0.0 if f <= 0 else f - math.floor(f)
+            if j0 >= n_in - 1:
+                M[i, n_in - 1] = 1.0
+            else:
+                M[i, j0] = 1.0 - f
+                M[i, j0 + 1] = f
+    return M
+
+
+def apply_area_resize(img: jnp.ndarray, row_m, col_m) -> jnp.ndarray:
+    """INTER_AREA as two MXU matmuls: img [H', W', B] → [out_h, out_w, B]."""
+    h = jnp.einsum("ih,hwb->iwb", row_m, img, preferred_element_type=jnp.float32)
+    return jnp.einsum("jw,iwb->ijb", col_m, h, preferred_element_type=jnp.float32)
