@@ -1,0 +1,83 @@
+"""CLI + raw YUV IO tests (the FFmpeg-shell analog, SURVEY C1/C10/C11)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from transform360_tpu.cli import main as cli_main
+from transform360_tpu.config import chroma_dims
+from transform360_tpu.utils.yuv import (
+    frame_size_bytes,
+    read_yuv420_batch,
+    read_yuv420_frames,
+    write_yuv420_batch,
+)
+
+
+def make_stream(tmp_path, rng, n, w, h):
+    cw, ch = chroma_dims(w, h)
+    y = rng.integers(0, 256, (n, h, w), dtype=np.uint8)
+    u = rng.integers(0, 256, (n, ch, cw), dtype=np.uint8)
+    v = rng.integers(0, 256, (n, ch, cw), dtype=np.uint8)
+    path = tmp_path / "in.yuv"
+    write_yuv420_batch(str(path), y, u, v)
+    return path, (y, u, v)
+
+
+def test_yuv_roundtrip(tmp_path, rng):
+    path, (y, u, v) = make_stream(tmp_path, rng, 3, 64, 32)
+    assert path.stat().st_size == 3 * frame_size_bytes(64, 32)
+    ry, ru, rv = read_yuv420_batch(str(path), 64, 32)
+    np.testing.assert_array_equal(ry, y)
+    np.testing.assert_array_equal(ru, u)
+    np.testing.assert_array_equal(rv, v)
+
+
+def test_yuv_truncated_final_frame(tmp_path, rng):
+    path, _ = make_stream(tmp_path, rng, 2, 64, 32)
+    with open(path, "ab") as f:
+        f.write(b"\x00" * 100)  # partial frame must be dropped
+    frames = list(read_yuv420_frames(str(path), 64, 32))
+    assert len(frames) == 2
+
+
+def test_cli_end_to_end(tmp_path, rng, capsys):
+    path, _ = make_stream(tmp_path, rng, 5, 128, 64)
+    out = tmp_path / "out.yuv"
+    rc = cli_main(
+        [
+            "--vf",
+            "cube_edge_length=32:input_stereo_format=mono:"
+            "interpolation_alg=linear:enable_low_pass_filter=0",
+            "--input-size",
+            "128x64",
+            "-i",
+            str(path),
+            "-o",
+            str(out),
+            "--batch",
+            "2",
+            "--stats",
+        ]
+    )
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip())
+    assert stats["frames"] == 5
+    assert stats["out_size"] == "96x64"
+    assert out.stat().st_size == 5 * frame_size_bytes(96, 64)
+
+
+def test_cli_plan_save_load(tmp_path, rng, capsys):
+    path, _ = make_stream(tmp_path, rng, 2, 128, 64)
+    plan_file = tmp_path / "plan.pkl"
+    out1, out2 = tmp_path / "o1.yuv", tmp_path / "o2.yuv"
+    common = [
+        "--vf",
+        "cube_edge_length=32:input_stereo_format=mono:"
+        "interpolation_alg=linear:enable_low_pass_filter=0",
+        "--input-size", "128x64", "-i", str(path), "--batch", "2",
+    ]
+    cli_main(common + ["-o", str(out1), "--save-plan", str(plan_file)])
+    cli_main(common + ["-o", str(out2), "--load-plan", str(plan_file)])
+    assert out1.read_bytes() == out2.read_bytes()
