@@ -46,13 +46,22 @@ def main():
     out = _frame_step(plan, y, u, v)
     jax.block_until_ready(out)
 
-    iters = 5
+    # Timing chains each step on the previous output so every dispatch is
+    # unique — the serving runtime dedups identical repeated dispatches,
+    # which would otherwise make repeated-same-input loops measure ~0.
+    iters = 8
     best = float("inf")
-    for _ in range(3):
+    for k in range(3):
+        yy, uu, vv = y + k, u + k, v + k
+        jax.block_until_ready((yy, uu, vv))
         t0 = time.perf_counter()
         for _ in range(iters):
-            out = _frame_step(plan, y, u, v)
-        jax.block_until_ready(out)
+            oy, ou, ov = _frame_step(plan, yy, uu, vv)
+            d = oy[0, 0, 0]
+            yy = yy + d
+            uu = uu + d
+            vv = vv + d
+        jax.block_until_ready((yy, uu, vv))
         best = min(best, (time.perf_counter() - t0) / iters)
 
     fps = BATCH / best

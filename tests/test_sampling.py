@@ -15,7 +15,8 @@ from transform360_tpu.sampling import (
     apply_area_resize,
     area_matrix,
     make_sample_spec,
-    remap_plane,
+    remap_const,
+    remap_traced,
 )
 
 MONO = dict(
@@ -24,20 +25,23 @@ MONO = dict(
 )
 
 
-def run_remap(spec, plane_u8):
-    x = jnp.asarray(plane_u8, jnp.float32)[..., None]  # [H, W, 1]
-    out = remap_plane(
-        spec,
-        jnp.asarray(spec.base_y),
-        jnp.asarray(spec.base_x),
-        jnp.asarray(spec.frac_y),
-        jnp.asarray(spec.frac_x),
-        None if spec.valid is None else jnp.asarray(spec.valid),
-        x,
-        0.0,
-    )
+def run_remap(spec, plane_u8, traced=False):
+    flat = jnp.asarray(plane_u8)[None].reshape(1, -1)  # [B=1, H*W]
+    if traced:
+        out = remap_traced(
+            spec,
+            flat,
+            jnp.asarray(spec.base_y),
+            jnp.asarray(spec.base_x),
+            jnp.asarray(spec.frac_y),
+            jnp.asarray(spec.frac_x),
+            None if spec.valid is None else jnp.asarray(spec.valid),
+            0.0,
+        )
+    else:
+        out = remap_const(spec, flat, 0.0)
     out = jnp.clip(jnp.floor(out + 0.5), 0, 255).astype(jnp.uint8)
-    return np.asarray(out[..., 0])
+    return np.asarray(out).reshape(spec.base_y.shape)
 
 
 def make_image(rng, h, w):
@@ -52,6 +56,7 @@ def make_image(rng, h, w):
     return np.clip(img, 0, 255).astype(np.uint8)
 
 
+@pytest.mark.parametrize("traced", [False, True])
 @pytest.mark.parametrize(
     "interp,min_db",
     [
@@ -61,7 +66,7 @@ def make_image(rng, h, w):
         (Interpolation.LANCZOS4, 48.0),
     ],
 )
-def test_remap_matches_cv2(rng, interp, min_db):
+def test_remap_matches_cv2(rng, interp, min_db, traced):
     in_h, in_w = 64, 128
     cfg = TransformConfig(interpolation_alg=interp, **MONO)
     warp = np.asarray(geometry.build_warp_map(cfg, in_w, in_h, 96, 64))
@@ -71,11 +76,22 @@ def test_remap_matches_cv2(rng, interp, min_db):
         img, warp[..., 0], warp[..., 1], int(interp), borderMode=cv2.BORDER_WRAP
     )
     spec = make_sample_spec(warp, in_w, in_h, interp, wrap=True)
-    got = run_remap(spec, img)
+    got = run_remap(spec, img, traced=traced)
     db = psnr(got, want)
     assert db >= min_db, f"{interp.name}: PSNR {db:.2f} dB"
     if interp == Interpolation.NEAREST:
         assert np.array_equal(got, want)
+
+
+def test_const_and_traced_paths_agree(rng):
+    in_h, in_w = 64, 128
+    cfg = TransformConfig(interpolation_alg=Interpolation.CUBIC, **MONO)
+    warp = np.asarray(geometry.build_warp_map(cfg, in_w, in_h, 96, 64))
+    img = make_image(rng, in_h, in_w)
+    spec = make_sample_spec(warp, in_w, in_h, Interpolation.CUBIC, wrap=True)
+    a = run_remap(spec, img, traced=False)
+    b = run_remap(spec, img, traced=True)
+    np.testing.assert_array_equal(a, b)
 
 
 def test_remap_barrel_transparent(rng):
@@ -126,10 +142,10 @@ def test_area_matrix_matches_cv2(rng, n_in, n_out):
     want = cv2.resize(img, (n_out, n_out), interpolation=cv2.INTER_AREA)
     R = area_matrix(n_in, n_out)
     C = area_matrix(n_in, n_out)
-    x = jnp.asarray(img, jnp.float32)[..., None]
+    x = jnp.asarray(img, jnp.float32)[None]
     got = apply_area_resize(x, jnp.asarray(R), jnp.asarray(C))
     got = np.asarray(
         jnp.clip(jnp.floor(got + 0.5), 0, 255).astype(jnp.uint8)
-    )[..., 0]
+    )[0]
     db = psnr(got, want)
     assert db >= 48.0, f"area {n_in}->{n_out}: PSNR {db:.2f} dB"

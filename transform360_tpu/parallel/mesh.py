@@ -49,20 +49,16 @@ def shard_batch(mesh: Mesh, *planes):
     return out if len(out) > 1 else out[0]
 
 
-def shard_plan(mesh: Mesh, plan: TransformPlan) -> TransformPlan:
-    """Replicate the plan (maps, kernels) onto every mesh device."""
-    return jax.device_put(plan, replicated(mesh))
-
-
 def transform_batch_sharded(
     mesh: Mesh, plan: TransformPlan, y, u, v
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Run the full-frame transform with the batch sharded over the mesh.
 
-    The jitted pipeline partitions under these shardings with zero
-    cross-device communication in the compute (verified by
+    The plan's constants (warp indices, tap weights, filter taps) live
+    inside the compiled executable and are replicated by XLA; only frame
+    data is sharded.  The jitted pipeline partitions under these shardings
+    with zero cross-device communication in the compute (verified by
     tests/test_parallel.py on a virtual 8-device CPU mesh).
     """
-    plan = shard_plan(mesh, plan)
     y, u, v = shard_batch(mesh, y, u, v)
     return transform_batch(plan, y, u, v)

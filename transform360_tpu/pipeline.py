@@ -1,70 +1,44 @@
-"""Batched frame pipeline: the jitted per-frame driver.
+"""Batched frame pipeline: plan-specialized jitted executors.
 
 The reference's steady-state path loops planes per frame and crosses a C ABI
-into the engine (``vf_transform360.c:338-402``).  Here the whole frame —
-prefilter → gather/interpolate → optional INTER_AREA — is one jitted XLA
-program per plane class, batched over frames.
+into the engine (``vf_transform360.c:338-402``).  Here the whole per-plane
+flow — prefilter → uint8 round → gather/interpolate → optional INTER_AREA —
+is one jitted XLA program, **specialized to the plan**: the static warp
+indices, tap weights, prefilter taps, and masks enter the graph as literals.
+That specialization is what unlocks XLA's constant-index gather fast path
+on TPU (see :mod:`transform360_tpu.sampling`); the cost is a per-config
+compile, amortized over a video stream.
 
-Layout: planes enter as uint8 ``[B, H, W]`` and are transposed to
-batch-minor ``[H, W, B]`` on device, so the remap gathers fetch contiguous
-``B``-lane rows and the prefilter's weighted shifts broadcast across lanes.
-This batch axis is also the sharding axis for multi-chip execution (the
-TPU-native replacement for the reference's pthread-per-segment fan-out —
-SURVEY §5): shard ``B`` over an ICI mesh and every stage stays local, no
-collectives in the math path.
+Layout: planes stay ``[B, H, W]`` uint8 end to end (no transposes); the
+remap view is ``[B, H*W]`` so each tap gathers along the lane axis.  The
+batch axis is the sharding axis for multi-chip execution — the TPU-native
+replacement for the reference's pthread-per-segment fan-out (SURVEY §5):
+shard ``B`` over an ICI mesh and every stage stays device-local.
 
-Rounding parity: OpenCV's fixed-point remap accumulates to integers and
-rounds half-up; we use ``floor(x + 0.5)`` with uint8 saturation, applied
-once after remap and once after the INTER_AREA epilogue (the reference
-round-trips through uint8 between the two, VideoFrameTransform.cpp:755-777).
+Rounding parity: the reference filters into a uint8 plane, remaps it with
+fixed-point arithmetic, and (when supersampling) round-trips through uint8
+again before INTER_AREA (``VideoFrameTransform.cpp:620-777``).  We round
+with ``floor(x + 0.5)`` + uint8 saturation at the same three points.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .config import TransformConfig
-from .filtering import BandSpec, BlurPlan, apply_blur
+from .filtering import apply_blur
 from .plan import PlanePlan, TransformPlan
-from .sampling import SampleSpec, apply_area_resize, remap_plane
-
-# --- pytree registration: arrays are traced leaves, structure is static ---
-
-jax.tree_util.register_dataclass(
-    SampleSpec,
-    data_fields=["base_y", "base_x", "frac_y", "frac_x", "valid"],
-    meta_fields=["in_w", "in_h", "interp", "wrap"],
+from .sampling import (
+    MAX_CONST_BYTES,
+    apply_area_resize,
+    const_budget_bytes,
+    remap_const,
+    remap_traced,
 )
-jax.tree_util.register_dataclass(
-    BandSpec, data_fields=["kx", "ky"], meta_fields=["top", "height"]
-)
-jax.tree_util.register_dataclass(
-    BlurPlan,
-    data_fields=["bands"],
-    meta_fields=["eye_w", "eye_h", "n_tiles", "tile_w", "stereo"],
-)
-jax.tree_util.register_dataclass(
-    PlanePlan,
-    data_fields=["spec", "blur", "area_row", "area_col"],
-    meta_fields=[
-        "in_w", "in_h", "out_w", "out_h", "scaled_w", "scaled_h", "fill",
-    ],
-)
-jax.tree_util.register_dataclass(
-    TransformPlan,
-    data_fields=["luma", "chroma"],
-    meta_fields=["cfg", "in_w", "in_h", "out_w", "out_h"],
-)
-
-
-def device_put_plan(plan: TransformPlan, device=None) -> TransformPlan:
-    """Move all plan arrays to device once (plans are reused across frames)."""
-    return jax.device_put(plan, device)
 
 
 def _round_u8(x: jnp.ndarray) -> jnp.ndarray:
@@ -72,46 +46,88 @@ def _round_u8(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.clip(jnp.floor(x + 0.5), 0.0, 255.0).astype(jnp.uint8)
 
 
-def _plane_forward(pp: PlanePlan, plane_hwb: jnp.ndarray) -> jnp.ndarray:
-    """Transform one plane class: f32 [H, W, B] → uint8 [out_h, out_w, B]."""
-    x = apply_blur(pp.blur, plane_hwb)
+def _plane_program(pp: PlanePlan, use_const: bool):
+    """Build the traceable per-plane program: uint8 [B, H, W] → uint8
+    [B, out_h, out_w].  With ``use_const`` the sampling constants embed as
+    literals; otherwise spec arrays are passed as device args."""
     spec = pp.spec
-    out = remap_plane(
-        spec,
-        spec.base_y,
-        spec.base_x,
-        spec.frac_y,
-        spec.frac_x,
-        spec.valid,
-        x,
-        float(pp.fill),
-    )
-    out = _round_u8(out)
-    if pp.area_row is not None:
-        resized = apply_area_resize(
-            out.astype(jnp.float32), pp.area_row, pp.area_col
+
+    if use_const:
+
+        def program(x):
+            if pp.blur is not None:
+                x = _round_u8(apply_blur(pp.blur, x.astype(jnp.float32)))
+            out = remap_const(spec, x.reshape(x.shape[0], -1), float(pp.fill))
+            out = _round_u8(out).reshape(-1, pp.scaled_h, pp.scaled_w)
+            if pp.area_row is not None:
+                out = _round_u8(
+                    apply_area_resize(
+                        out.astype(jnp.float32),
+                        jnp.asarray(pp.area_row),
+                        jnp.asarray(pp.area_col),
+                    )
+                )
+            return out
+
+        return program
+
+    # traced fallback: spec arrays as runtime operands
+    by = jax.device_put(spec.base_y)
+    bx = jax.device_put(spec.base_x)
+    fy = jax.device_put(spec.frac_y)
+    fx = jax.device_put(spec.frac_x)
+    va = None if spec.valid is None else jax.device_put(spec.valid)
+
+    def program(x):
+        if pp.blur is not None:
+            x = _round_u8(apply_blur(pp.blur, x.astype(jnp.float32)))
+        out = remap_traced(
+            spec, x.reshape(x.shape[0], -1), by, bx, fy, fx, va, float(pp.fill)
         )
-        out = _round_u8(resized)
-    return out
+        out = _round_u8(out).reshape(-1, pp.scaled_h, pp.scaled_w)
+        if pp.area_row is not None:
+            out = _round_u8(
+                apply_area_resize(
+                    out.astype(jnp.float32),
+                    jnp.asarray(pp.area_row),
+                    jnp.asarray(pp.area_col),
+                )
+            )
+        return out
+
+    return program
 
 
-@jax.jit
-def _plane_step(pp: PlanePlan, plane_bhw: jnp.ndarray) -> jnp.ndarray:
-    """uint8 [B, H, W] → uint8 [B, out_h, out_w]."""
-    hwb = plane_bhw.transpose(1, 2, 0).astype(jnp.float32)
-    out = _plane_forward(pp, hwb)
-    return out.transpose(2, 0, 1)
+_EXEC_CACHE: Dict[str, Callable] = {}
 
 
-@jax.jit
+def plane_executor(pp: PlanePlan) -> Callable:
+    """Jitted executor for one plane class, cached by plan identity."""
+    fn = _EXEC_CACHE.get(pp.key)
+    if fn is None:
+        use_const = const_budget_bytes(pp.spec) <= MAX_CONST_BYTES
+        fn = jax.jit(_plane_program(pp, use_const))
+        _EXEC_CACHE[pp.key] = fn
+    return fn
+
+
+def clear_executor_cache() -> None:
+    _EXEC_CACHE.clear()
+
+
+def device_put_plan(plan: TransformPlan, device=None) -> TransformPlan:
+    """Kept for API compatibility: plans are numpy-resident (their arrays
+    embed into the compiled executable); nothing to transfer."""
+    del device
+    return plan
+
+
 def _frame_step(plan: TransformPlan, y, u, v):
     """Full YUV420 frame batch. Three image planes share two map planes
     (plane 1 and 2 both use the chroma plan — ``vf_transform360.c:372``)."""
-    return (
-        _plane_step(plan.luma, y),
-        _plane_step(plan.chroma, u),
-        _plane_step(plan.chroma, v),
-    )
+    luma = plane_executor(plan.luma)
+    chroma = plane_executor(plan.chroma)
+    return luma(y), chroma(u), chroma(v)
 
 
 def transform_batch(
@@ -125,6 +141,9 @@ def transform_batch(
     ``y``: uint8 [B, H, W]; ``u``/``v``: uint8 [B, ceil(H/2), ceil(W/2)].
     Returns the transformed uint8 planes at the negotiated output size.
     """
+    y = jnp.asarray(y)
+    u = jnp.asarray(u)
+    v = jnp.asarray(v)
     if y.ndim == 2:
         oy, ou, ov = _frame_step(plan, y[None], u[None], v[None])
         return oy[0], ou[0], ov[0]
@@ -148,5 +167,5 @@ def transform_plane(
     squeeze = plane.ndim == 2
     if squeeze:
         plane = plane[None]
-    out = _plane_step(pp, plane)
+    out = plane_executor(pp)(plane)
     return out[0] if squeeze else out

@@ -37,6 +37,7 @@ from .sampling import SampleSpec, area_matrix, make_sample_spec
 class PlanePlan:
     """Everything needed to transform one plane class (luma or chroma)."""
 
+    key: str  # identity for the compiled-executor cache
     spec: SampleSpec  # static structure + host arrays
     blur: Optional[BlurPlan]
     in_w: int
@@ -80,7 +81,9 @@ def _build_plane_plan(
     )
     blur = build_blur_plan(cfg, in_w, in_h, scaled_w, scaled_h)
     need_resize = (scaled_w != out_w) or (scaled_h != out_h)
+    key = f"{cfg.cache_key()}:{in_w}x{in_h}:{out_w}x{out_h}:p{map_plane_index}"
     return PlanePlan(
+        key=key,
         spec=spec,
         blur=blur,
         in_w=in_w,
