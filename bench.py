@@ -38,9 +38,10 @@ def main():
 
     rng = np.random.default_rng(0)
     cw, ch = chroma_dims(IN_W, IN_H)
-    y = jax.device_put(rng.integers(0, 256, (BATCH, IN_H, IN_W), dtype=np.uint8))
-    u = jax.device_put(rng.integers(0, 256, (BATCH, ch, cw), dtype=np.uint8))
-    v = jax.device_put(rng.integers(0, 256, (BATCH, ch, cw), dtype=np.uint8))
+    # batch-minor [H, W, B] staging: the device fast path (see pipeline.py)
+    y = jax.device_put(rng.integers(0, 256, (IN_H, IN_W, BATCH), dtype=np.uint8))
+    u = jax.device_put(rng.integers(0, 256, (ch, cw, BATCH), dtype=np.uint8))
+    v = jax.device_put(rng.integers(0, 256, (ch, cw, BATCH), dtype=np.uint8))
 
     # compile + warmup
     out = _frame_step(plan, y, u, v)
@@ -57,7 +58,7 @@ def main():
         t0 = time.perf_counter()
         for _ in range(iters):
             oy, ou, ov = _frame_step(plan, yy, uu, vv)
-            d = oy[0, 0, 0]
+            d = oy[0, 0, 0]  # chain on the output to serialize + de-dup
             yy = yy + d
             uu = uu + d
             vv = vv + d

@@ -1,0 +1,111 @@
+"""Native C++ engine cross-validation: the third independent implementation
+(JAX path vs numpy/OpenCV oracle vs dependency-free C++) must agree."""
+
+import numpy as np
+import pytest
+
+from tests.conftest import psnr
+from transform360_tpu import TransformConfig, build_plan, chroma_dims, transform_batch
+from transform360_tpu.config import Interpolation, Layout, StereoFormat
+from transform360_tpu import native
+from transform360_tpu import geometry
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason=f"native engine unavailable: {native.build_error()}"
+)
+
+MONO = dict(
+    input_stereo_format=StereoFormat.MONO,
+    output_stereo_format=StereoFormat.MONO,
+)
+
+
+def make_yuv(rng, h, w):
+    # Textured-smooth planes (video-like): independent f32 geometry
+    # implementations differ by ulps, which flips 1/32 rounding buckets on
+    # a tiny pixel fraction — white noise would amplify each flip to a
+    # full uncorrelated pixel and say nothing about real fidelity.
+    def tex(hh, ww, phase):
+        yy, xx = np.mgrid[0:hh, 0:ww]
+        img = (
+            128
+            + 70 * np.sin(xx / 6.0 + phase)
+            + 45 * np.cos(yy / 5.0 - phase)
+            + rng.normal(0, 8, (hh, ww))
+        )
+        return np.clip(img, 0, 255).astype(np.uint8)
+
+    cw, ch = chroma_dims(w, h)
+    return tex(h, w, 0.0), tex(ch, cw, 1.0), tex(ch, cw, 2.0)
+
+
+def test_native_warp_map_matches_jax():
+    cfg = TransformConfig(**MONO)
+    t = native.NativeTransform(cfg)
+    t.generate_map_for_plane(256, 128, 96, 64, 0)
+    got = t.export_warp_map(0)  # 1/32-quantized coords
+    want = np.asarray(geometry.build_warp_map(cfg, 256, 128, 96, 64))
+    # native map is quantized to 1/32 px; tolerance covers that + f32 noise
+    assert np.abs(got - want).max() < (1.0 / 32 + 1e-3)
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        dict(interpolation_alg=Interpolation.LINEAR, enable_low_pass_filter=0),
+        dict(interpolation_alg=Interpolation.CUBIC, enable_low_pass_filter=0),
+        dict(interpolation_alg=Interpolation.NEAREST, enable_low_pass_filter=0),
+        dict(interpolation_alg=Interpolation.LANCZOS4, enable_low_pass_filter=0),
+        dict(),  # defaults: cubic + prefilter
+        dict(output_layout=Layout.EQUIRECT, fixed_yaw=30.0,
+             enable_low_pass_filter=0,
+             interpolation_alg=Interpolation.LINEAR),
+        dict(width_scale_factor=2.0, height_scale_factor=2.0,
+             interpolation_alg=Interpolation.LINEAR,
+             enable_low_pass_filter=0),
+    ],
+)
+def test_native_matches_jax_pipeline(rng, kw):
+    cfg = TransformConfig(**MONO, **kw)
+    y, u, v = make_yuv(rng, 128, 256)
+    out_w, out_h = 96, 64
+    t = native.NativeTransform(cfg)
+    ny, nu, nv = t.transform_frame(y, u, v, out_w, out_h)
+
+    plan = build_plan(cfg, 256, 128, out_w, out_h)
+    jy, ju, jv = transform_batch(plan, y, u, v)
+    for name, a, b in (("Y", ny, np.asarray(jy)), ("U", nu, np.asarray(ju)),
+                       ("V", nv, np.asarray(jv))):
+        db = psnr(a, b)
+        assert db >= 50.0, f"{name}: native vs JAX PSNR {db:.2f} dB ({kw})"
+
+
+def test_native_stereo_tb(rng):
+    cfg = TransformConfig(
+        input_stereo_format=StereoFormat.TB,
+        output_stereo_format=StereoFormat.TB,
+        interpolation_alg=Interpolation.LINEAR,
+        enable_low_pass_filter=0,
+    )
+    y, u, v = make_yuv(rng, 256, 256)
+    t = native.NativeTransform(cfg)
+    ny, nu, nv = t.transform_frame(y, u, v, 96, 128)
+    plan = build_plan(cfg, 256, 256, 96, 128)
+    jy, ju, jv = transform_batch(plan, y, u, v)
+    assert psnr(ny, np.asarray(jy)) >= 50.0
+    assert psnr(nu, np.asarray(ju)) >= 50.0
+
+
+def test_native_multithreading_consistent(rng):
+    """enable_multi_threading must not change results (thread fan-out is
+    over disjoint segments, like the reference)."""
+    y, u, v = make_yuv(rng, 128, 256)
+    outs = []
+    for mt in (0, 1):
+        cfg = TransformConfig(**MONO, enable_multi_threading=mt,
+                              num_vertical_segments=7,
+                              num_horizontal_segments=3)
+        t = native.NativeTransform(cfg)
+        outs.append(t.transform_frame(y, u, v, 96, 64))
+    for a, b in zip(*outs):
+        np.testing.assert_array_equal(a, b)

@@ -353,8 +353,9 @@ def build_warp_map(
 
 
 def calculate_kernel(sigma: float) -> np.ndarray:
-    """1-D Gaussian taps, half-length int(2*sigma) (VideoFrameTransform.cpp:78-94)."""
-    box_half = int(sigma * 2)
+    """1-D Gaussian taps, half-length int(2*sigma) (VideoFrameTransform.cpp:78-94).
+    The truncation is float32 like the reference's float arithmetic."""
+    box_half = int(np.float32(sigma) * np.float32(2))
     ker = np.zeros(box_half * 2 + 1, np.float32)
     sigma_component = 0.0 if abs(sigma) < _EPS else 0.5 / (sigma * sigma)
     for u in range(-box_half, box_half + 1):
@@ -438,14 +439,16 @@ def compute_sigma_y(
         h_fov, v_fov = cfg.fixed_hfov, cfg.fixed_vfov
     else:
         h_fov, v_fov = _LAYOUT_FOV[cfg.output_layout]
-    return 0.5 * min(
-        cfg.max_kernel_half_height,
-        max(
-            cfg.min_kernel_half_height,
-            cfg.kernel_height_scale_factor
-            * min(in_w / 360.0, in_h / 180.0)
-            / max(out_w / h_fov, out_h / v_fov),
-        ),
+    f = np.float32  # the reference evaluates this expression in C++ floats
+    ratio = (
+        f(cfg.kernel_height_scale_factor)
+        * min(f(in_w) / f(360.0), f(in_h) / f(180.0))
+        / max(f(out_w) / f(h_fov), f(out_h) / f(v_fov))
+    )
+    return float(
+        f(0.5)
+        * min(f(cfg.max_kernel_half_height),
+              max(f(cfg.min_kernel_half_height), ratio))
     )
 
 
