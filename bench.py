@@ -38,10 +38,9 @@ def main():
 
     rng = np.random.default_rng(0)
     cw, ch = chroma_dims(IN_W, IN_H)
-    # batch-minor [H, W, B] staging: the device fast path (see pipeline.py)
-    y = jax.device_put(rng.integers(0, 256, (IN_H, IN_W, BATCH), dtype=np.uint8))
-    u = jax.device_put(rng.integers(0, 256, (ch, cw, BATCH), dtype=np.uint8))
-    v = jax.device_put(rng.integers(0, 256, (ch, cw, BATCH), dtype=np.uint8))
+    y = jax.device_put(rng.integers(0, 256, (BATCH, IN_H, IN_W), dtype=np.uint8))
+    u = jax.device_put(rng.integers(0, 256, (BATCH, ch, cw), dtype=np.uint8))
+    v = jax.device_put(rng.integers(0, 256, (BATCH, ch, cw), dtype=np.uint8))
 
     # compile + warmup
     out = _frame_step(plan, y, u, v)

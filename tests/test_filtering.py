@@ -90,9 +90,9 @@ def blur_with_plan(cfg, img, out_w=48, out_h=32):
     plan = filtering.build_blur_plan(
         cfg, img.shape[1], img.shape[0], out_w, out_h
     )
-    x = jnp.asarray(img, jnp.float32)[..., None]
+    x = jnp.asarray(img, jnp.float32)[None]
     out = filtering.apply_blur(plan, x)
-    return np.asarray(out)[..., 0]
+    return np.asarray(out)[0]
 
 
 def oracle_blur(cfg, img, out_w=48, out_h=32):
@@ -159,11 +159,11 @@ def test_blur_batch_consistency(rng):
     imgs = [make_image(rng, 64, 128) for _ in range(3)]
     plan = filtering.build_blur_plan(cfg, 128, 64, 48, 32)
     batch = jnp.stack(
-        [jnp.asarray(i, jnp.float32) for i in imgs], axis=-1
-    )  # [H, W, B]
+        [jnp.asarray(i, jnp.float32) for i in imgs], axis=0
+    )  # [B, H, W]
     out_b = np.asarray(filtering.apply_blur(plan, batch))
     for k, img in enumerate(imgs):
         single = np.asarray(
-            filtering.apply_blur(plan, jnp.asarray(img, jnp.float32)[..., None])
-        )[..., 0]
-        np.testing.assert_allclose(out_b[..., k], single, atol=1e-4)
+            filtering.apply_blur(plan, jnp.asarray(img, jnp.float32)[None])
+        )[0]
+        np.testing.assert_allclose(out_b[k], single, atol=1e-4)

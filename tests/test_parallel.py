@@ -60,10 +60,9 @@ def test_sharded_with_prefilter(mesh, rng):
 
 def test_batch_actually_sharded(mesh, rng):
     y, _, _ = make_batch(rng, 16, 64, 128)
-    ym = np.moveaxis(y, 0, -1)  # batch-minor [H, W, B]
-    ys = shard_batch(mesh, ym)
+    ys = shard_batch(mesh, y)
     shard_shapes = {s.data.shape for s in ys.addressable_shards}
-    assert shard_shapes == {(64, 128, 2)}  # 16 frames / 8 devices
+    assert shard_shapes == {(2, 64, 128)}  # 16 frames / 8 devices
     assert len(ys.addressable_shards) == 8
 
 

@@ -26,7 +26,7 @@ MONO = dict(
 
 
 def run_remap(spec, plane_u8, traced=False):
-    flat = jnp.asarray(plane_u8).reshape(-1, 1)  # [H*W, B=1]
+    flat = jnp.asarray(plane_u8).reshape(1, -1)  # [B=1, H*W]
     if traced:
         out = remap_traced(
             spec,
@@ -41,7 +41,7 @@ def run_remap(spec, plane_u8, traced=False):
     else:
         out = remap_const(spec, flat, 0.0)
     out = jnp.clip(jnp.floor(out + 0.5), 0, 255).astype(jnp.uint8)
-    return np.asarray(out)[:, 0].reshape(spec.base_y.shape)
+    return np.asarray(out)[0].reshape(spec.base_y.shape)
 
 
 def make_image(rng, h, w):
@@ -142,10 +142,10 @@ def test_area_matrix_matches_cv2(rng, n_in, n_out):
     want = cv2.resize(img, (n_out, n_out), interpolation=cv2.INTER_AREA)
     R = area_matrix(n_in, n_out)
     C = area_matrix(n_in, n_out)
-    x = jnp.asarray(img, jnp.float32)[..., None]
+    x = jnp.asarray(img, jnp.float32)[None]
     got = apply_area_resize(x, jnp.asarray(R), jnp.asarray(C))
     got = np.asarray(
         jnp.clip(jnp.floor(got + 0.5), 0, 255).astype(jnp.uint8)
-    )[..., 0]
+    )[0]
     db = psnr(got, want)
     assert db >= 48.0, f"area {n_in}->{n_out}: PSNR {db:.2f} dB"

@@ -312,7 +312,7 @@ def build_blur_plan(
 
 
 def _conv_axis(x: jnp.ndarray, taps: np.ndarray, axis: int) -> jnp.ndarray:
-    """Separable 1-D conv along ``axis`` of ``x`` [rows, tiles, cols, batch]
+    """Separable 1-D conv along ``axis`` of ``x`` [batch, rows, tiles, cols]
     with per-tile taps [tiles, L] and edge replication — unrolled weighted
     shifts (VPU), the TPU-native form of per-segment sepFilter2D.
 
@@ -320,14 +320,14 @@ def _conv_axis(x: jnp.ndarray, taps: np.ndarray, axis: int) -> jnp.ndarray:
     L = taps.shape[1]
     r = (L - 1) // 2
     if r == 0:
-        return x * jnp.asarray(taps[:, 0])[None, :, None, None]
+        return x * jnp.asarray(taps[:, 0])[None, None, :, None]
     pad = [(0, 0)] * x.ndim
     pad[axis] = (r, r)
     xp = jnp.pad(x, pad, mode="edge")
     n = x.shape[axis]
     acc = None
     for u in range(L):
-        w = jnp.asarray(taps[:, u])[None, :, None, None]
+        w = jnp.asarray(taps[:, u])[None, None, :, None]
         sl = [slice(None)] * x.ndim
         sl[axis] = slice(u, u + n)
         term = w * xp[tuple(sl)]
@@ -336,47 +336,47 @@ def _conv_axis(x: jnp.ndarray, taps: np.ndarray, axis: int) -> jnp.ndarray:
 
 
 def _blur_eye(plan: BlurPlan, eye: jnp.ndarray) -> jnp.ndarray:
-    """Blur one eye view [eye_h, eye_w, B] (f32); returns same shape."""
-    H, W, B = eye.shape
+    """Blur one eye view [B, eye_h, eye_w] (f32); returns same shape."""
+    B, H, W = eye.shape
     T, Wt = plan.n_tiles, plan.tile_w
     pad_w = T * Wt - W
     outs = []
     for band in plan.bands:
-        rows = jax.lax.slice_in_dim(eye, band.top, band.top + band.height, axis=0)
+        rows = jax.lax.slice_in_dim(eye, band.top, band.top + band.height, axis=1)
         if pad_w:
-            rows = jnp.pad(rows, ((0, 0), (0, pad_w), (0, 0)), mode="edge")
-        t = rows.reshape(band.height, T, Wt, B)
-        t = _conv_axis(t, band.kx, axis=2)
-        t = _conv_axis(t, band.ky, axis=0)
-        t = t.reshape(band.height, T * Wt, B)
-        outs.append(t[:, :W] if pad_w else t)
-    return jnp.concatenate(outs, axis=0)
+            rows = jnp.pad(rows, ((0, 0), (0, 0), (0, pad_w)), mode="edge")
+        t = rows.reshape(B, band.height, T, Wt)
+        t = _conv_axis(t, band.kx, axis=3)
+        t = _conv_axis(t, band.ky, axis=1)
+        t = t.reshape(B, band.height, T * Wt)
+        outs.append(t[:, :, :W] if pad_w else t)
+    return jnp.concatenate(outs, axis=1)
 
 
 def apply_blur(plan: Optional[BlurPlan], plane: jnp.ndarray) -> jnp.ndarray:
-    """Apply the prefilter to a float32 plane [H, W, B] (batch-minor).
+    """Apply the prefilter to a float32 plane [B, H, W].
 
     Stereo eyes are processed with the shared per-eye plan, mirroring
     filterPlane's offset application (VideoFrameTransform.cpp:630-691).
     """
     if plan is None:
         return plane
-    H, W, _ = plane.shape
+    _, H, W = plane.shape
     # For odd stereo dims the reference's zero-initialized blurred plane
     # leaves the uncovered final row/column as zeros (filterPlane zeroes the
     # whole destination, VideoFrameTransform.cpp:625); preserved here.
     if plan.stereo == StereoFormat.LR:
         half = plan.eye_w
-        left = _blur_eye(plan, plane[:, :half])
-        right = _blur_eye(plan, plane[:, half : 2 * half])
-        rest = jnp.zeros_like(plane[:, 2 * half :])
-        parts = [left, right] + ([rest] if rest.shape[1] else [])
-        return jnp.concatenate(parts, axis=1)
+        left = _blur_eye(plan, plane[:, :, :half])
+        right = _blur_eye(plan, plane[:, :, half : 2 * half])
+        rest = jnp.zeros_like(plane[:, :, 2 * half :])
+        parts = [left, right] + ([rest] if rest.shape[2] else [])
+        return jnp.concatenate(parts, axis=2)
     if plan.stereo == StereoFormat.TB:
         half = plan.eye_h
-        top = _blur_eye(plan, plane[:half])
-        bottom = _blur_eye(plan, plane[half : 2 * half])
-        rest = jnp.zeros_like(plane[2 * half :])
-        parts = [top, bottom] + ([rest] if rest.shape[0] else [])
-        return jnp.concatenate(parts, axis=0)
+        top = _blur_eye(plan, plane[:, :half])
+        bottom = _blur_eye(plan, plane[:, half : 2 * half])
+        rest = jnp.zeros_like(plane[:, 2 * half :])
+        parts = [top, bottom] + ([rest] if rest.shape[1] else [])
+        return jnp.concatenate(parts, axis=1)
     return _blur_eye(plan, plane)

@@ -31,9 +31,8 @@ def make_mesh(devices: Optional[Sequence] = None) -> Mesh:
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Sharding for batch-minor [H, W, B] planes: batch split across the
-    mesh (the trailing axis)."""
-    return NamedSharding(mesh, P(None, None, BATCH_AXIS))
+    """Sharding for [B, H, W] planes: batch split across the mesh."""
+    return NamedSharding(mesh, P(BATCH_AXIS))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
@@ -41,10 +40,9 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, *planes):
-    """Place batch-minor [H, W, B] planes with B sharded over the mesh.
+    """Place [B, H, W] planes with the batch axis sharded over the mesh.
 
     B must be divisible by the mesh size (pad the final partial batch).
-    For peak per-device gather efficiency keep B/devices >= 8.
     """
     s = batch_sharding(mesh)
     out = tuple(jax.device_put(np.asarray(p), s) for p in planes)
@@ -56,23 +54,14 @@ def transform_batch_sharded(
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Run the full-frame transform with the batch sharded over the mesh.
 
-    Accepts conventional [B, H, W] uint8 planes; converts to batch-minor on
-    the host, shards B over the mesh, and returns [B, ...] outputs (still
-    batch-sharded).  The plan's constants (warp indices, tap weights,
-    filter taps) live inside the compiled executable and are replicated by
-    XLA; only frame data is sharded.  The pipeline partitions with zero
-    cross-device communication in the compute (verified by
-    tests/test_parallel.py on a virtual 8-device CPU mesh).
+    Accepts [B, H, W] uint8 planes, shards B over the mesh, and returns
+    batch-sharded outputs.  The plan's constants (warp windows, tap
+    indices, filter taps) are replicated by XLA; only frame data is
+    sharded.  The pipeline partitions with zero cross-device communication
+    in the compute (verified by tests/test_parallel.py on a virtual
+    8-device CPU mesh).
     """
     from ..pipeline import transform_planes
 
-    ym, um, vm = (np.ascontiguousarray(np.moveaxis(np.asarray(p), 0, -1)) for p in (y, u, v))
-    ym, um, vm = shard_batch(mesh, ym, um, vm)
-    oy, ou, ov = transform_planes(plan, ym, um, vm)
-    import jax.numpy as jnp
-
-    return (
-        jnp.moveaxis(oy, -1, 0),
-        jnp.moveaxis(ou, -1, 0),
-        jnp.moveaxis(ov, -1, 0),
-    )
+    ym, um, vm = shard_batch(mesh, y, u, v)
+    return transform_planes(plan, ym, um, vm)

@@ -39,6 +39,7 @@ class PlanePlan:
 
     key: str  # identity for the compiled-executor cache
     spec: SampleSpec  # static structure + host arrays
+    pallas: Optional[object]  # ops.remap_pallas.PallasRemapPlan or None
     blur: Optional[BlurPlan]
     in_w: int
     in_h: int
@@ -82,9 +83,13 @@ def _build_plane_plan(
     blur = build_blur_plan(cfg, in_w, in_h, scaled_w, scaled_h)
     need_resize = (scaled_w != out_w) or (scaled_h != out_h)
     key = f"{cfg.cache_key()}:{in_w}x{in_h}:{out_w}x{out_h}:p{map_plane_index}"
+    from .ops.remap_pallas import build_pallas_remap
+
+    pallas_plan = build_pallas_remap(spec, 128.0 if map_plane_index else 0.0)
     return PlanePlan(
         key=key,
         spec=spec,
+        pallas=pallas_plan,
         blur=blur,
         in_w=in_w,
         in_h=in_h,

@@ -6,25 +6,19 @@ pre-filled Y=0/UV=128 for barrel layouts), optionally followed by a
 ``cv::resize`` INTER_AREA downscale when supersampling
 (``VideoFrameTransform.cpp:706-794``).
 
-TPU design (measured on v5e):
+Architecture:
 
 * Plan time (:func:`make_sample_spec`, host numpy): the static warp map is
   quantized to OpenCV's 1/32-pixel fixed-point grid (``INTER_BITS == 5`` —
   cv::convertMaps rounds ``map*32``), split into integer base indices and
-  fractional parts, and border handling (wrap / clamp+mask) is resolved
-  into per-tap flat indices and pre-combined tap weights.
-* Run time (:func:`remap_const`): the plane is laid out ``[B, H*W]`` uint8
-  and each tap is one ``take_along_axis`` gather **along the lane axis with
-  compile-time-constant indices**.  This is the load-bearing choice: XLA's
-  TPU gather emits a vectorized access pattern when the indices are
-  literals (the warp map is static per config, so they are), measured
-  ~500x faster than the same gather with traced indices (0.3 ms vs 150 ms
-  for 16 taps over a 4K->1.5MP cubic remap, batch 8).  The executable is
-  specialized per plan — the classic static-warp trade: bigger compile,
-  speed-of-light steady state.
-* :func:`remap_traced` is the general fallback (traced indices) used when
-  embedding the constants would be too large (e.g. lanczos4 at very large
-  outputs) — same math, slower gather path.
+  fractional parts, and border handling (wrap / clamp+mask) is resolved.
+  This spec drives BOTH execution backends.
+* :func:`remap_const` / :func:`remap_traced`: the portable XLA backend —
+  one gather per tap over ``[B, H*W]`` planes.  Correct everywhere, but
+  XLA's TPU gather streams at only ~2.4 GB/s (measured, v5e), so on TPU
+  this path serves tiny planes and cross-checking only.
+* The production TPU backend is the Pallas window-gather kernel
+  (:mod:`transform360_tpu.ops.remap_pallas`), built from the same spec.
 * INTER_AREA downscale becomes two plan-time matrices applied as matmuls
   (MXU) — see :func:`area_matrix`.
 
@@ -262,23 +256,23 @@ MAX_CONST_BYTES = 320 * 1024 * 1024
 
 
 def remap_const(spec: SampleSpec, flat_u8: jnp.ndarray, fill: float) -> jnp.ndarray:
-    """Plan-specialized remap: ``flat_u8`` [H*W, B] uint8 → float32 [N, B].
+    """XLA remap: ``flat_u8`` [B, H*W] uint8 → float32 [B, N].
 
-    Tap indices and combined weights enter the graph as literals (computed
-    in numpy at trace time), putting every gather on XLA's constant-index
-    fast path: one contiguous-``B``-lane row fetch per (tap, output pixel),
-    with the static access pattern fully known to the compiler.  Measured
-    ~1500x faster than the traced-index fallback on v5e (0.25 ms vs 400 ms
-    for a 16-tap 4K→1.5MP cubic remap at batch 8).
+    Tap indices and combined weights enter the graph as literals (numpy at
+    trace time).  This is the portable general path — correct everywhere
+    but gather-bound on TPU (XLA's gather streams at ~2.4 GB/s there); the
+    production TPU path is the Pallas kernel in ops/remap_pallas.py, which
+    uses the same spec.  This path serves CPU execution, tiny planes, and
+    cross-checking.
     """
     idx_list, weight_list, valid = tap_arrays(spec)
     acc = None
     for t, idx in enumerate(idx_list):
-        g = jnp.take(flat_u8, jnp.asarray(idx), axis=0).astype(jnp.float32)
-        term = g if weight_list is None else jnp.asarray(weight_list[t])[:, None] * g
+        g = jnp.take(flat_u8, jnp.asarray(idx), axis=1).astype(jnp.float32)
+        term = g if weight_list is None else jnp.asarray(weight_list[t])[None, :] * g
         acc = term if acc is None else acc + term
     if valid is not None:
-        acc = jnp.where(jnp.asarray(valid)[:, None], acc, jnp.float32(fill))
+        acc = jnp.where(jnp.asarray(valid)[None, :], acc, jnp.float32(fill))
     return acc
 
 
@@ -296,7 +290,7 @@ def remap_traced(
 
     Used when the constant footprint exceeds :data:`MAX_CONST_BYTES`.
     ``base_*``/``frac_*``/``valid`` are device arrays of the spec fields.
-    ``flat_u8`` [H*W, B] → float32 [N, B].
+    ``flat_u8`` [B, H*W] → float32 [B, N].
     """
     H, W = spec.in_h, spec.in_w
     T = _TAPS[spec.interp]
@@ -312,14 +306,14 @@ def remap_traced(
         for tx in range(T):
             xx = bx + tx
             xx = jnp.where(xx >= W, xx - W, xx) if spec.wrap else jnp.clip(xx, 0, W - 1)
-            g = jnp.take(flat_u8, row + xx, axis=0).astype(jnp.float32)
+            g = jnp.take(flat_u8, row + xx, axis=1).astype(jnp.float32)
             if spec.interp == Interpolation.NEAREST:
                 term = g
             else:
-                term = (wy[ty] * wx[tx])[:, None] * g
+                term = (wy[ty] * wx[tx])[None, :] * g
             acc = term if acc is None else acc + term
     if valid is not None:
-        acc = jnp.where(valid.reshape(-1)[:, None], acc, jnp.float32(fill))
+        acc = jnp.where(valid.reshape(-1)[None, :], acc, jnp.float32(fill))
     return acc
 
 
@@ -368,6 +362,6 @@ def area_matrix(n_in: int, n_out: int) -> np.ndarray:
 
 
 def apply_area_resize(img: jnp.ndarray, row_m, col_m) -> jnp.ndarray:
-    """INTER_AREA as two MXU matmuls: img [H', W', B] → [out_h, out_w, B]."""
-    h = jnp.einsum("ih,hwb->iwb", row_m, img, preferred_element_type=jnp.float32)
-    return jnp.einsum("jw,iwb->ijb", col_m, h, preferred_element_type=jnp.float32)
+    """INTER_AREA as two MXU matmuls: img [B, H', W'] → [B, out_h, out_w]."""
+    h = jnp.einsum("ih,bhw->biw", row_m, img, preferred_element_type=jnp.float32)
+    return jnp.einsum("jw,biw->bij", col_m, h, preferred_element_type=jnp.float32)
