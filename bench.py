@@ -42,27 +42,42 @@ def main():
     u = jax.device_put(rng.integers(0, 256, (BATCH, ch, cw), dtype=np.uint8))
     v = jax.device_put(rng.integers(0, 256, (BATCH, ch, cw), dtype=np.uint8))
 
-    # compile + warmup
-    out = _frame_step(plan, y, u, v)
-    jax.block_until_ready(out)
+    # Timing methodology for the remote-tunnel backend: per-dispatch and
+    # eager-op overheads are large (hundreds of ms), so the whole chain of
+    # steps runs inside ONE jitted program — each step consumes the
+    # previous step's output (serialized on device, dedup-proof), and the
+    # per-step time comes from the difference between two chain lengths.
+    from transform360_tpu.pipeline import plane_executor, _plane_program, _use_pallas
 
-    # Timing chains each step on the previous output so every dispatch is
-    # unique — the serving runtime dedups identical repeated dispatches,
-    # which would otherwise make repeated-same-input loops measure ~0.
-    iters = 8
-    best = float("inf")
-    for k in range(3):
-        yy, uu, vv = y + k, u + k, v + k
-        jax.block_until_ready((yy, uu, vv))
+    luma = _plane_program(plan.luma, _use_pallas(plan.luma))
+    chroma = _plane_program(plan.chroma, _use_pallas(plan.chroma))
+
+    def make_chain(n):
+        @jax.jit
+        def chain(y, u, v):
+            for _ in range(n):
+                oy, ou, ov = luma(y), chroma(u), chroma(v)
+                d = oy[0, 0, 0]
+                y = y + d
+                u = u + d
+                v = v + d
+            return y, u, v
+
+        return chain
+
+    n_short, n_long = 2, 10
+    c_short, c_long = make_chain(n_short), make_chain(n_long)
+    jax.block_until_ready(c_short(y, u, v))  # compile
+    jax.block_until_ready(c_long(y, u, v))
+
+    def run(chain, k):
         t0 = time.perf_counter()
-        for _ in range(iters):
-            oy, ou, ov = _frame_step(plan, yy, uu, vv)
-            d = oy[0, 0, 0]  # chain on the output to serialize + de-dup
-            yy = yy + d
-            uu = uu + d
-            vv = vv + d
-        jax.block_until_ready((yy, uu, vv))
-        best = min(best, (time.perf_counter() - t0) / iters)
+        jax.block_until_ready(chain(y + np.uint8(k), u, v))
+        return time.perf_counter() - t0
+
+    t_short = min(run(c_short, k) for k in (1, 2))
+    t_long = min(run(c_long, k) for k in (3, 4))
+    best = (t_long - t_short) / (n_long - n_short)
 
     fps = BATCH / best
     print(
