@@ -9,18 +9,21 @@ exploits the two fast data-movement engines the hardware does have:
   at full bandwidth.
 * **Intra-vreg shuffles**: Mosaic's ``tpu.dynamic_gather`` permutes within
   128 lanes.  Per 128-lane group of (pixel, x-tap) requests, one
-  lane-gather x-aligns the window columns, a vector transpose flips the
-  alignment axis, and a second lane-gather picks the y-taps — three vector
-  ops replace 16 scalar-ish XLA gathers (measured ~40x faster end to end).
+  lane-gather x-aligns a small row sub-window for the WHOLE batch at once
+  (frames stacked in sublanes), and the y-interpolation is a single
+  multiply by a per-group combined weight matrix plus one reduction —
+  no transposes, no per-frame loops, no second gather.
 
 Structure: output is processed in [8, 128] **supertiles** (the minimal
 TPU-aligned output block), each made of four [8, 32] subtiles with their
-own input window (windows stay small and VMEM-resident).  Plan-time
-classification (:mod:`tile_analysis` logic inlined here): subtile
-footprints that fit a [96, 128] window are "regular" (one-vreg x-gather);
-up to [128, 512] uses a chunk-select x-gather; anything wider (barrel
-polar caps, degenerate pole tiles — <1% of cubemap tiles) falls back to
-the XLA gather on just those subtiles and is patched into the output.
+own DMA'd input window; each 128-lane request group additionally selects
+an 8-aligned row sub-window (group_h rows) so vector ops touch only the
+rows that group samples.  Plan-time classification (:mod:`tile_analysis`
+logic inlined here): subtile footprints that fit the regular class
+(window 96x256, group_h 48) use a 2-chunk x-gather; up to 128x640/64
+uses 5 chunks; anything wider (barrel polar caps, degenerate pole tiles
+— ~1% of cubemap tiles) falls back to the XLA gather on just those
+subtiles and is patched into the output.
 
 The kernel is layout-agnostic: all projection/stereo/border logic lives in
 the plan's per-lane index/weight arrays (built from the same 1/32-quantized
@@ -55,18 +58,23 @@ LANES = 128
 # requires provably aligned dynamic memref slices); the quantization slack
 # (7, 127) comes out of the usable span.
 Y_ALIGN, X_ALIGN = 8, 128
-CLASS_R = (96, 256)
-CLASS_W = (128, 640)
+# (win_h, win_w, group_h): group_h is the per-output-row-group sub-window
+# height — every vector op in the kernel touches only group_h rows.
+CLASS_R = (96, 256, 48)
+CLASS_W = (128, 640, 64)
 
 
 @dataclasses.dataclass(frozen=True)
 class RemapClass:
     win_h: int
     win_w: int
+    gh: int         # per-group row sub-window height
     n: int          # number of supertiles
-    meta: np.ndarray  # [n, 2 + 2*SUB] i32: oy, ox, then (y0, x0) per subtile
+    # meta [n, 2 + 2*SUB + SUB*PG] i32: oy, ox, (y0, x0) per subtile, then
+    # the per-(subtile, group) row sub-window offset (multiple of 8)
+    meta: np.ndarray
     lx: np.ndarray  # [n, SUB, PG, 128] i32 window-relative first-tap col
-    ly: np.ndarray  # [n, SUB, PG, 128] i32 window-relative first-tap row
+    ly: np.ndarray  # [n, SUB, PG, 128] i32 GROUP-window-relative first-tap row
     wx: np.ndarray  # [n, SUB, PG, 128] f32 x-tap weight (0 for dead lanes)
     fy: np.ndarray  # [n, SUB, PG, 128] f32 y fraction
     addb: np.ndarray  # [n, SUB, PG, 128] f32 additive transparent-fill bias
@@ -148,6 +156,9 @@ def build_pallas_remap(spec: SampleSpec, fill: float) -> Optional["PallasRemapPl
     sub_class = np.zeros((n_ty, n_tx), np.int8)  # 0=R, 1=W, 2=fallback
     sub_y0 = np.zeros((n_ty, n_tx), np.int64)
     sub_x0 = np.zeros((n_ty, n_tx), np.int64)
+    px_rows = (np.arange(pg)[:, None] * px_per_group
+               + np.arange(px_per_group)[None, :])  # pixel ids per group
+    px_rows = np.minimum(px_rows, TP - 1)
     for ti in range(n_ty):
         for tj in range(n_tx):
             tb_y = by_p[ti * TH : (ti + 1) * TH, tj * TW : (tj + 1) * TW]
@@ -162,11 +173,16 @@ def build_pallas_remap(spec: SampleSpec, fill: float) -> Optional["PallasRemapPl
                 x0 = max(0, int(tb_x.min()))
                 xe = int(tb_x.max()) - x0 + 1
             x_ext = xe + T - 1
+            # per-group (output-row-group) y-span must fit the group window
+            tby_f = tb_y.reshape(-1)[px_rows]  # [pg, px_per_group]
+            g_span = int((tby_f.max(axis=1) - tby_f.min(axis=1)).max()) + T
             if (y_ext <= CLASS_R[0] - (Y_ALIGN - 1)
-                    and x_ext <= CLASS_R[1] - (X_ALIGN - 1)):
+                    and x_ext <= CLASS_R[1] - (X_ALIGN - 1)
+                    and g_span <= CLASS_R[2] - (Y_ALIGN - 1)):
                 c = 0
             elif (y_ext <= CLASS_W[0] - (Y_ALIGN - 1)
-                    and x_ext <= CLASS_W[1] - (X_ALIGN - 1)):
+                    and x_ext <= CLASS_W[1] - (X_ALIGN - 1)
+                    and g_span <= CLASS_W[2] - (Y_ALIGN - 1)):
                 c = 1
             else:
                 c = 2
@@ -201,9 +217,9 @@ def build_pallas_remap(spec: SampleSpec, fill: float) -> Optional["PallasRemapPl
         ents = entries[cls_id]
         if not ents:
             return None
-        wh, ww = cls_dims
+        wh, ww, gh = cls_dims
         n = len(ents)
-        meta = np.zeros((n, 2 + 2 * SUB), np.int32)
+        meta = np.zeros((n, 2 + 2 * SUB + SUB * pg), np.int32)
         shp = (n, SUB, pg, LANES)
         lx = np.zeros(shp, np.int32)
         ly = np.zeros(shp, np.int32)
@@ -235,7 +251,11 @@ def build_pallas_remap(spec: SampleSpec, fill: float) -> Optional["PallasRemapPl
                     px = g * px_per_group + lane_px
                     pxc = np.minimum(px, TP - 1)
                     lx[k, s, g] = np.clip(txw[pxc] + lane_tx, 0, ww - 1)
-                    ly[k, s, g] = np.clip(tb_y[pxc] - y0, 0, wh - T)
+                    lyw = np.clip(tb_y[pxc] - y0, 0, wh - T)
+                    gy0 = int(np.clip((lyw.min() // Y_ALIGN) * Y_ALIGN,
+                                      0, wh - gh))
+                    meta[k, 2 + 2 * SUB + s * pg + g] = gy0
+                    ly[k, s, g] = np.clip(lyw - gy0, 0, gh - T)
                     fyl[k, s, g] = tfy[pxc]
                     w = twx[pxc, lane_tx]
                     if tva is not None:
@@ -244,7 +264,7 @@ def build_pallas_remap(spec: SampleSpec, fill: float) -> Optional["PallasRemapPl
                         )
                         w = np.where(tva[pxc], w, 0.0)
                     wx[k, s, g] = w
-        return RemapClass(wh, ww, n, meta, lx, ly, wx, fyl, addb)
+        return RemapClass(wh, ww, gh, n, meta, lx, ly, wx, fyl, addb)
 
     built = tuple(
         c
@@ -364,14 +384,14 @@ def _wy_weights(interp: Interpolation, f, t_iota):
 def _make_kernel(plan: PallasRemapPlan, cls: RemapClass, batch: int):
     T = plan.taps
     PG = plan.pg
-    wh, ww = cls.win_h, cls.win_w
+    wh, ww, gh = cls.win_h, cls.win_w, cls.gh
     px_per_group = LANES // T
     n_chunks = ww // LANES
     interp = plan.interp
     n = cls.n
 
     def kernel(meta_ref, lx_ref, ly_ref, wx_ref, fy_ref, addb_ref,
-               src_ref, out_ref, win, sems, accum):
+               src_ref, out_ref, win, sems):
         i = pl.program_id(0)
 
         def dma(slot, t, s):
@@ -400,16 +420,17 @@ def _make_kernel(plan: PallasRemapPlan, cls: RemapClass, batch: int):
             dma(slot, i, s).wait()
 
         t_iota = jax.lax.broadcasted_iota(jnp.int32, (LANES, T), 1)
-        r_iota = jax.lax.broadcasted_iota(jnp.int32, (wh, LANES), 0)
-        sub_results = []
+        r_iota = jax.lax.broadcasted_iota(jnp.int32, (gh, LANES), 0)
+        results = {}  # (s, g) -> [B, px_per_group]
         for s in range(SUB):
-            # Precompute, per group, the x-gather indices and a combined
-            # y-weight matrix W2 [wh, 128]: W2[r, lane] = wy_t * wx at
-            # r == ly[lane] + t, else 0.  Shared across the batch, so the
-            # per-(frame, group) work is one lane-gather, one multiply, and
-            # one sublane reduction — no transpose, no second gather.
-            metas = []
             for g in range(PG):
+                # Per group: slice a [gh, ww] row sub-window (offset from
+                # the plan, 8-aligned), build a combined y-weight matrix
+                # W2 [gh, 128] (W2[r, lane] = wy_t * wx at r == ly+t), and
+                # process ALL frames at once: the x-gather operand stacks
+                # the batch in sublanes [B*gh, 128], the y-interp is one
+                # multiply + one reduction over the gh axis.  No transpose,
+                # no per-frame loop, no second gather.
                 lx = lx_ref[0, s, g]
                 ly = ly_ref[0, s, g]
                 wxv = wx_ref[0, s, g]
@@ -428,43 +449,37 @@ def _make_kernel(plan: PallasRemapPlan, cls: RemapClass, batch: int):
                 else:
                     chunk = None
                     within = lx
-                idxx = jnp.broadcast_to(within[None, :], (wh, LANES))
-                metas.append((idxx, w2, addv, chunk))
-            # batch loop as fori_loop: only one iteration's temporaries are
-            # live at a time (a fully unrolled SUB*PG*B body blows the
-            # Mosaic vreg-spill stack past the 16M VMEM budget)
-            def b_body(b, _, s=s, metas=metas):
-                wb = win[slot, s, b].astype(jnp.int32).astype(jnp.float32)
-                for g in range(PG):
-                    idxx, w2, addv, chunk = metas[g]
-                    if n_chunks == 1:
-                        xa = jnp.take_along_axis(wb, idxx, axis=1)
-                    else:
-                        xa = None
-                        for c in range(n_chunks):
-                            xac = jnp.take_along_axis(
-                                wb[:, c * LANES : (c + 1) * LANES],
-                                idxx,
-                                axis=1,
-                            )
-                            xa = xac if xa is None else jnp.where(
-                                (chunk == c)[None, :], xac, xa
-                            )
-                    resq = jnp.sum(xa * w2, axis=0) + addv  # [128]
-                    if T > 1:
-                        # lanes are tx-major: the tap reduction is a sum of
-                        # contiguous static lane slices
-                        racc = resq[0:px_per_group]
-                        for t in range(1, T):
-                            racc = racc + resq[
-                                t * px_per_group : (t + 1) * px_per_group
-                            ]
-                        resq = racc
-                    accum[b, s * PG + g, :] = resq
-                return 0
-
-            jax.lax.fori_loop(0, batch, b_body, 0)
-        av = accum[...]  # [B, SUB*PG, ppg]
+                idxx = jnp.broadcast_to(within[None, :], (batch * gh, LANES))
+                r0 = pl.multiple_of(
+                    meta_ref[i, 2 + 2 * SUB + s * PG + g], Y_ALIGN
+                )
+                ws = win[slot, s, :, pl.ds(r0, gh), :]  # [B, gh, ww] u8
+                wf = ws.astype(jnp.int32).astype(jnp.float32)
+                if n_chunks == 1:
+                    op = wf.reshape(batch * gh, ww)
+                    xa = jnp.take_along_axis(op, idxx, axis=1)
+                else:
+                    xa = None
+                    for c in range(n_chunks):
+                        op = wf[:, :, c * LANES : (c + 1) * LANES].reshape(
+                            batch * gh, LANES
+                        )
+                        xac = jnp.take_along_axis(op, idxx, axis=1)
+                        xa = xac if xa is None else jnp.where(
+                            (chunk == c)[None, :], xac, xa
+                        )
+                xa3 = xa.reshape(batch, gh, LANES)
+                resq = jnp.sum(xa3 * w2[None], axis=1) + addv[None]  # [B,128]
+                if T > 1:
+                    # lanes are tx-major: the tap reduction is a sum of
+                    # contiguous static lane slices
+                    racc = resq[:, 0:px_per_group]
+                    for t in range(1, T):
+                        racc = racc + resq[
+                            :, t * px_per_group : (t + 1) * px_per_group
+                        ]
+                    resq = racc
+                results[(s, g)] = resq  # [B, px_per_group]
         # assemble [B, TH, TW*SUB] from static lane slices of the groups
         out_rows = []
         for r in range(TH):
@@ -475,7 +490,7 @@ def _make_kernel(plan: PallasRemapPlan, cls: RemapClass, batch: int):
                     g = start // px_per_group
                     off = start % px_per_group
                     take = min(px_per_group - off, (r + 1) * TW - start)
-                    pieces.append(av[:, s * PG + g, off : off + take])
+                    pieces.append(results[(s, g)][:, off : off + take])
                     start += take
             out_rows.append(jnp.concatenate(pieces, axis=1)[:, None, :])
         tile = jnp.concatenate(out_rows, axis=1)  # [B, TH, TW*SUB]
@@ -516,10 +531,10 @@ def _run_class(plan, cls: RemapClass, padded, prev_out, interpret):
         kwargs["input_output_aliases"] = {7: 0}
 
         def kfn(meta_ref, lx_ref, ly_ref, wx_ref, fy_ref, addb_ref,
-                src_ref, prev_ref, out_ref, win, sems, accum):
+                src_ref, prev_ref, out_ref, win, sems):
             del prev_ref
             kernel(meta_ref, lx_ref, ly_ref, wx_ref, fy_ref, addb_ref,
-                   src_ref, out_ref, win, sems, accum)
+                   src_ref, out_ref, win, sems)
     else:
         kfn = kernel
 
@@ -535,9 +550,6 @@ def _run_class(plan, cls: RemapClass, padded, prev_out, interpret):
         scratch_shapes=[
             pltpu.VMEM((2, SUB, batch, cls.win_h, cls.win_w), jnp.uint8),
             pltpu.SemaphoreType.DMA((2, SUB)),
-            pltpu.VMEM(
-                (batch, SUB * plan.pg, LANES // plan.taps), jnp.float32
-            ),
         ],
     )
     return pl.pallas_call(
