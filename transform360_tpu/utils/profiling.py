@@ -1,0 +1,94 @@
+"""Tracing / profiling helpers (SURVEY §5: the reference has only av_log
+breadcrumbs; the rebuild provides jax.profiler traces and per-stage timers).
+
+Timing on remote-tunnel TPU backends is hostile to naive wall-clock loops
+(per-dispatch overheads of hundreds of ms, dispatch dedup of identical
+requests); :func:`time_jitted` implements the reliable in-jit
+chain-difference method used by bench.py.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import json
+import sys
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+@contextlib.contextmanager
+def device_trace(log_dir: str):
+    """Capture a jax.profiler device trace (view with TensorBoard/XProf)."""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def time_jitted(
+    fn: Callable,
+    x: jnp.ndarray,
+    n_short: int = 2,
+    n_long: int = 18,
+    repeats: int = 3,
+) -> float:
+    """Steady-state seconds per invocation of ``fn(x)`` (single array arg).
+
+    Builds two jitted chains of different lengths where each step consumes
+    the previous output (device-serialized, dedup-proof), and divides the
+    wall-clock difference — immune to dispatch overhead and result caching.
+    """
+
+    def make(n):
+        @jax.jit
+        def chain(a):
+            for _ in range(n):
+                o = fn(a)
+                a = a + o.reshape(-1)[0].astype(a.dtype)
+            return a
+
+        return chain
+
+    cs, cl = make(n_short), make(n_long)
+    jax.block_until_ready(cs(x))
+    jax.block_until_ready(cl(x))
+
+    def run(c, k):
+        xi = x + x.dtype.type(k)
+        t0 = time.perf_counter()
+        jax.block_until_ready(c(xi))
+        return time.perf_counter() - t0
+
+    ts = min(run(cs, k) for k in range(1, repeats + 1))
+    tl = min(run(cl, k) for k in range(repeats + 1, 2 * repeats + 1))
+    return max(tl - ts, 1e-9) / (n_long - n_short)
+
+
+class StageStats:
+    """Structured per-batch throughput logging (metrics/observability
+    analog; the reference has none — SURVEY §5)."""
+
+    def __init__(self, stream=None):
+        self.stream = stream or sys.stderr
+        self.frames = 0
+        self.batches = 0
+        self.seconds = 0.0
+
+    def record(self, n_frames: int, seconds: float) -> None:
+        self.frames += n_frames
+        self.batches += 1
+        self.seconds += seconds
+
+    def emit(self, **extra) -> None:
+        payload = {
+            "frames": self.frames,
+            "batches": self.batches,
+            "seconds": round(self.seconds, 4),
+            "fps": round(self.frames / self.seconds, 2) if self.seconds else None,
+            **extra,
+        }
+        print(json.dumps(payload), file=self.stream)
