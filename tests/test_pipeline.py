@@ -222,3 +222,35 @@ def test_plane_level_api(rng):
     pu = t.transform_frame_plane(u, 1, 256, 128)
     np.testing.assert_array_equal(full[0], py)
     np.testing.assert_array_equal(full[1], pu)
+
+
+def test_barrel_split_full_pipeline(rng):
+    cfg = TransformConfig(
+        output_layout=Layout.BARREL_SPLIT,
+        interpolation_alg=Interpolation.LINEAR,
+        enable_low_pass_filter=0,
+        **MONO,
+    )
+    run_both(cfg, rng, 256, 128, 96, 64, min_db=45.0)
+
+
+def test_offcenter_horizontal_pipeline(rng):
+    cfg = TransformConfig(
+        fixed_cube_offcenter_x=0.3,
+        fixed_cube_offcenter_z=-0.4,
+        is_horizontal_offset=1,
+        interpolation_alg=Interpolation.LINEAR,
+        enable_low_pass_filter=0,
+        **MONO,
+    )
+    run_both(cfg, rng, 256, 128, 96, 64, min_db=48.0)
+
+
+def test_eac_full_pipeline(rng):
+    cfg = TransformConfig(
+        output_layout=Layout.EAC_32,
+        interpolation_alg=Interpolation.CUBIC,
+        enable_low_pass_filter=0,
+        **MONO,
+    )
+    run_both(cfg, rng, 256, 128, 96, 64, min_db=48.0)

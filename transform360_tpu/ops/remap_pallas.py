@@ -607,10 +607,22 @@ def _run_fallback(plan: PallasRemapPlan, padded: jnp.ndarray, out: jnp.ndarray):
     return out
 
 
+# Per-invocation batch cap: window scratch is [2, SUB, B, win_h, win_w]
+# uint8 and must fit VMEM alongside the kernel's working set.
+MAX_KERNEL_BATCH = 8
+
+
 def remap_pallas(
     plan: PallasRemapPlan, plane_u8: jnp.ndarray, interpret: bool = False
 ) -> jnp.ndarray:
     """Remap a uint8 [B, H, W] plane → uint8 [B, out_h, out_w]."""
+    B = plane_u8.shape[0]
+    if B > MAX_KERNEL_BATCH:
+        parts = [
+            remap_pallas(plan, plane_u8[k : k + MAX_KERNEL_BATCH], interpret)
+            for k in range(0, B, MAX_KERNEL_BATCH)
+        ]
+        return jnp.concatenate(parts, axis=0)
     padded = pad_plane(plan, plane_u8)
     out = None
     for cls in plan.classes:

@@ -111,10 +111,14 @@ def transform_planes(plan: TransformPlan, y, u, v):
     """Device fast path: uint8 [B, H, W] planes in, same layout out.
 
     Three image planes share two map planes (planes 1 and 2 both use the
-    chroma plan — ``vf_transform360.c:372``)."""
+    chroma plan — ``vf_transform360.c:372``).  U and V are stacked into one
+    2B-batch kernel invocation: they share every plan constant, so this
+    halves the chroma launch/window overhead."""
     luma = plane_executor(plan.luma)
     chroma = plane_executor(plan.chroma)
-    return luma(y), chroma(u), chroma(v)
+    b = u.shape[0]
+    uv = chroma(jnp.concatenate([u, v], axis=0))
+    return luma(y), uv[:b], uv[b:]
 
 
 # Alias used by benches/tools.
