@@ -109,3 +109,23 @@ def test_native_multithreading_consistent(rng):
         outs.append(t.transform_frame(y, u, v, 96, 64))
     for a, b in zip(*outs):
         np.testing.assert_array_equal(a, b)
+
+
+def test_native_backend_via_api(rng):
+    """Transform360(backend='native') matches the JAX pipeline through the
+    same public surface."""
+    from transform360_tpu import open_filter
+
+    y, u, v = make_yuv(rng, 128, 256)
+    opts = ("cube_edge_length=32:input_stereo_format=mono:"
+            "interpolation_alg=linear:enable_low_pass_filter=0")
+    tj = open_filter(opts, 256, 128)
+    tn = open_filter(opts, 256, 128, backend="native")
+    a = tj.transform(y, u, v)
+    b = tn.transform(y, u, v)
+    for pa, pb in zip(a, b):
+        assert psnr(pa, pb) >= 50.0
+    # batched native path
+    yb, ub, vb = (np.stack([p, p]) for p in (y, u, v))
+    ob = tn.transform(yb, ub, vb)
+    np.testing.assert_array_equal(ob[0][0], b[0])

@@ -43,12 +43,20 @@ class Transform360:
         config: TransformConfig,
         out_w: Optional[int] = None,
         out_h: Optional[int] = None,
+        backend: str = "auto",
     ):
+        """``backend``: "auto" (TPU Pallas / XLA pipeline), or "native"
+        (the dependency-free C++ engine — CPU fallback with the reference's
+        threading model; see transform360_tpu.native)."""
         config.validate()
+        if backend not in ("auto", "native"):
+            raise ValueError(f"unknown backend {backend!r}")
+        self._backend = backend
         self._cfg = config
         self._out_w = out_w
         self._out_h = out_h
         self._plan: Optional[TransformPlan] = None
+        self._native = None
 
     @property
     def config(self) -> TransformConfig:
@@ -92,11 +100,37 @@ class Transform360:
         planes.  Maps are generated lazily on the first frame, like the
         reference filter.  Returns numpy uint8 planes.
         """
+        if self._backend == "native":
+            return self._transform_native(y, u, v)
         y = jnp.asarray(y)
         in_h, in_w = y.shape[-2:]
         plan = self._ensure_plan(in_w, in_h)
         oy, ou, ov = transform_batch(plan, y, jnp.asarray(u), jnp.asarray(v))
         return np.asarray(oy), np.asarray(ou), np.asarray(ov)
+
+    def _transform_native(self, y, u, v):
+        from . import native
+
+        y, u, v = (np.asarray(p, np.uint8) for p in (y, u, v))
+        if self._out_w is None or self._out_h is None:
+            raise ValueError("output size not set")
+        cfg = self._cfg
+        if StereoFormat.GUESS in (cfg.input_stereo_format, cfg.output_stereo_format):
+            in_fmt, out_fmt = resolve_stereo_formats(
+                cfg, y.shape[-1], y.shape[-2]
+            )
+            cfg = cfg.replace(
+                input_stereo_format=in_fmt, output_stereo_format=out_fmt
+            )
+        if self._native is None or self._native._cfg != cfg:
+            self._native = native.NativeTransform(cfg)
+        if y.ndim == 2:
+            return self._native.transform_frame(y, u, v, self._out_w, self._out_h)
+        outs = [
+            self._native.transform_frame(y[k], u[k], v[k], self._out_w, self._out_h)
+            for k in range(y.shape[0])
+        ]
+        return tuple(np.stack([o[i] for o in outs]) for i in range(3))
 
     def transform_frame_plane(
         self, plane, map_plane_index: int, in_w: int, in_h: int
@@ -128,13 +162,13 @@ class Transform360:
 
 
 def open_filter(
-    options: str, in_w: int, in_h: int, eager: bool = True
+    options: str, in_w: int, in_h: int, eager: bool = True, backend: str = "auto"
 ) -> Transform360:
     """FFmpeg-shell analog: parse the option string, negotiate output
     geometry against the input size, and return a ready engine."""
     opts = parse_options(options)
     out_w, out_h, cfg = negotiate_output_geometry(opts, in_w, in_h)
-    t = Transform360(cfg, out_w, out_h)
-    if eager:
+    t = Transform360(cfg, out_w, out_h, backend=backend)
+    if eager and backend != "native":
         t.generate_map(in_w, in_h)
     return t
