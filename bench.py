@@ -25,7 +25,9 @@ def main():
     IN_W, IN_H = 3840, 2160
     EDGE = 512
     OUT_W, OUT_H = EDGE * 3, EDGE * 2
-    BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    # batch 128 engages the lane-batched remap kernel (frames in vector
+    # lanes) — the offline-transcode sweet spot; override via argv[1].
+    BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     BASELINE_FPS = 1000.0
 
     cfg = TransformConfig(

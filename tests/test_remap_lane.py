@@ -1,0 +1,80 @@
+"""Lane-batched remap kernel: interpret-mode validation vs the XLA gather
+path (same SampleSpec, same math, batch-in-lanes engine)."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from transform360_tpu import build_plan
+from transform360_tpu.config import Interpolation, Layout, StereoFormat, TransformConfig
+from transform360_tpu.ops.remap_lane import build_lane_remap, remap_lane
+from transform360_tpu.sampling import remap_const
+
+MONO = dict(
+    input_stereo_format=StereoFormat.MONO,
+    output_stereo_format=StereoFormat.MONO,
+)
+
+
+def run_case(rng, cfg, in_wh, out_wh, batch=3):
+    plan = build_plan(cfg, in_wh[0], in_wh[1], out_wh[0], out_wh[1])
+    pp = plan.luma
+    lplan = build_lane_remap(pp.spec, pp.fill)
+    assert lplan is not None, "expected a lane plan for this size"
+    x = rng.integers(0, 256, (batch, pp.in_h, pp.in_w), dtype=np.uint8)
+    got = np.asarray(remap_lane(lplan, jnp.asarray(x), interpret=True))
+    want = remap_const(pp.spec, jnp.asarray(x).reshape(batch, -1), pp.fill)
+    want = np.asarray(jnp.clip(jnp.floor(want + 0.5), 0, 255).astype(jnp.uint8))
+    sh, sw = pp.spec.base_y.shape
+    want = want.reshape(batch, sh, sw)
+    diff = np.abs(got.astype(int) - want.astype(int))
+    assert got.shape == want.shape
+    # f32 accumulation order differs between engines -> at most 1 LSB ties
+    assert diff.max() <= 1, f"max diff {diff.max()}"
+    assert (diff > 0).mean() < 0.005, f"tie-flip fraction {(diff>0).mean()}"
+    return lplan
+
+
+def test_cubic_cubemap(rng):
+    cfg = TransformConfig(interpolation_alg=Interpolation.CUBIC, **MONO)
+    lp = run_case(rng, cfg, (128, 64), (96, 64))
+    assert lp.classes, "no kernel classes built"
+
+
+def test_linear_and_nearest(rng):
+    for alg in (Interpolation.LINEAR, Interpolation.NEAREST):
+        cfg = TransformConfig(interpolation_alg=alg, **MONO)
+        run_case(rng, cfg, (128, 64), (96, 64))
+
+
+def test_lanczos(rng):
+    cfg = TransformConfig(interpolation_alg=Interpolation.LANCZOS4, **MONO)
+    run_case(rng, cfg, (128, 64), (96, 64))
+
+
+def test_barrel_transparent_border(rng):
+    cfg = TransformConfig(
+        output_layout=Layout.BARREL,
+        interpolation_alg=Interpolation.LINEAR,
+        **MONO,
+    )
+    lp = run_case(rng, cfg, (128, 64), (160, 64))
+    assert not lp.wrap and lp.pad_left == 8
+
+
+def test_stereo_tb(rng):
+    cfg = TransformConfig(
+        input_stereo_format=StereoFormat.TB,
+        output_stereo_format=StereoFormat.TB,
+        interpolation_alg=Interpolation.CUBIC,
+    )
+    run_case(rng, cfg, (128, 128), (96, 128))
+
+
+def test_equirect_roundtrip_identityish(rng):
+    cfg = TransformConfig(
+        output_layout=Layout.EQUIRECT,
+        interpolation_alg=Interpolation.CUBIC,
+        **MONO,
+    )
+    run_case(rng, cfg, (128, 64), (128, 64))

@@ -1,0 +1,524 @@
+"""Lane-batched Pallas remap kernel — the large-batch production path.
+
+The window-gather kernel (:mod:`remap_pallas`) keeps frames in sublanes and
+spends its cycles on intra-vreg lane gathers and per-group weight matrices.
+This kernel instead puts the **frame batch in the 128 vector lanes**
+(``[H, W, B]`` layout) so that every tap of every output pixel is ONE
+aligned vector load shared by 128 frames — no gathers at all:
+
+* per output pixel, the T y-tap rows are loaded as aligned ``(1, 16, B)``
+  slices of a DMA'd input window (x quantized to 8 sublanes; the 16-wide
+  sub-window covers taps + quantization slack for T <= 8),
+* the y-interpolation is T scalar-weight FMAs (weights read from SMEM),
+* the x-interpolation is a contraction of the 16 sublanes against a
+  precomputed ``[256, 16, 1]`` weight-table row indexed by
+  ``fracx_index * 8 + x_offset`` on the (alignment-free) outer dim,
+* 8 pixels are assembled per loop step so output stores stay
+  sublane-aligned.
+
+Measured ~23 cycles/output pixel on v5e (tools/probe_lane_kernel.py): a
+4K -> 1536x1024 cubic luma remap costs ~0.3 ms/frame at batch 128, ~25x
+the window-gather kernel's per-frame rate.
+
+Tiles are [8, 32] output subtiles; each gets an input window class sized
+at plan time from the actual warp footprints (an adaptive ladder under the
+~16 MB VMEM budget).  Tiles whose footprint exceeds the largest rung (rare;
+none for the 4K cubemap config) fall back to an XLA gather patch.
+
+Projection/stereo/border semantics all live in the plan arrays (built from
+the same 1/32-quantized :class:`~transform360_tpu.sampling.SampleSpec` as
+the other backends), so every layout combination and OpenCV interpolation
+parity carries over unchanged.  Reference behavior being replaced:
+``cv::remap`` (``VideoFrameTransform.cpp:748-769``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import Interpolation
+from ..sampling import INTER_TAB_SIZE, SampleSpec, _TAPS, _tap_weights
+
+TH, TW = 8, 32       # output tile (rows, cols)
+TPo = TH * TW        # pixels per tile
+LANES = 128          # frames per pass (batch lives in lanes)
+XW = 16              # aligned x sub-window sublanes per load (fits T<=8 + 7)
+PAD_LEFT_CLAMP = 8   # replicate pad so clamp-mode negative taps stay >= 0
+
+# candidate (win_h, win_w) ladder; a rung is double-buffered when the
+# window fits the budget, single-buffered otherwise; tiles beyond the
+# largest feasible rung go to the XLA fallback.
+_LADDER = ((32, 384), (48, 512), (64, 768), (96, 1024), (128, 1536))
+_DOUBLE_BUF_BYTES = 5 * 2**20
+_WINDOW_BYTES_MAX = 13 * 2**20
+
+
+@dataclasses.dataclass(frozen=True)
+class LaneClass:
+    win_h: int
+    win_w: int
+    n: int
+    double_buf: bool
+    meta: np.ndarray   # [3, n] i32: tile linear id, window y0, x0 (x0 % 8 == 0)
+    idx: np.ndarray    # [n, 3, TPo] i32: ly, lxq (8-aligned), code
+    wyb: np.ndarray    # [n, T + 1, TPo] f32: T y-tap weights + additive bias
+
+
+@dataclasses.dataclass(frozen=True)
+class LaneRemapPlan:
+    interp: Interpolation
+    taps: int
+    in_h: int
+    in_w: int
+    pad_y: int
+    pad_left: int
+    hp: int
+    wp: int
+    out_h: int
+    out_w: int
+    out_hp: int
+    out_wp: int
+    n_tiles: int        # full padded tile grid (out_hp/8 * out_wp/32)
+    fill: float
+    wrap: bool
+    wt: np.ndarray      # [256, XW, 1] f32 x-contraction table
+    classes: Tuple[LaneClass, ...]
+    fb_ids: Optional[np.ndarray]      # [nf] tile linear ids
+    fb_idx: Optional[np.ndarray]      # [nf, TPo] flat padded-plane index
+    fb_wy: Optional[np.ndarray]       # [nf, T, TPo]
+    fb_wx: Optional[np.ndarray]       # [nf, T, TPo]
+    fb_bias: Optional[np.ndarray]     # [nf, TPo]
+
+
+def _circular_origin(vals: np.ndarray, n: int):
+    u = np.unique(vals)
+    if u.size == 1:
+        return int(u[0]), 1
+    gaps = np.diff(u)
+    wrap_gap = int(u[0]) + n - int(u[-1])
+    k = int(np.argmax(gaps)) if gaps.size else -1
+    if k >= 0 and gaps[k] > wrap_gap:
+        return int(u[k + 1]), int(u[k]) + n - int(u[k + 1]) + 1
+    return int(u[0]), int(u[-1] - u[0] + 1)
+
+
+def _weight_table(interp: Interpolation) -> np.ndarray:
+    """x-contraction table: row fxi*8+off holds the T tap weights for
+    fractional position fxi/32 at sublanes off..off+T-1 of the 16-wide
+    aligned sub-window."""
+    T = _TAPS[interp]
+    fr = (np.arange(INTER_TAB_SIZE) / INTER_TAB_SIZE).astype(np.float64)
+    taps = _tap_weights(interp, fr, np)  # T arrays of [32]
+    wt = np.zeros((INTER_TAB_SIZE * 8, XW, 1), np.float32)
+    for f in range(INTER_TAB_SIZE):
+        for off in range(8):
+            for u in range(T):
+                wt[f * 8 + off, off + u, 0] = taps[u][f]
+    return wt
+
+
+def build_lane_remap(spec: SampleSpec, fill: float) -> Optional[LaneRemapPlan]:
+    T = _TAPS[spec.interp]
+    H, W = spec.in_h, spec.in_w
+    out_h, out_w = spec.base_y.shape
+    if out_h < TH or out_w < TW:
+        return None
+    pad_y = T
+    pad_left = 0 if spec.wrap else PAD_LEFT_CLAMP
+    hp = H + 2 * pad_y
+
+    out_hp = -(-out_h // TH) * TH
+    out_wp = -(-out_w // TW) * TW
+    n_ty, n_tx = out_hp // TH, out_wp // TW
+    n_tiles = n_ty * n_tx
+
+    def pad2(a):
+        return np.pad(a, ((0, out_hp - out_h), (0, out_wp - out_w)), mode="edge")
+
+    by_p = pad2(spec.base_y.astype(np.int64)) + pad_y
+    bx_p = pad2(spec.base_x.astype(np.int64)) + pad_left
+    fy_p = pad2(spec.frac_y)
+    fx_p = pad2(spec.frac_x)
+    valid_p = None if spec.valid is None else pad2(spec.valid)
+
+    fxi_p = np.rint(fx_p * INTER_TAB_SIZE).astype(np.int64) % INTER_TAB_SIZE
+    wy_all = np.stack(
+        _tap_weights(spec.interp, fy_p.astype(np.float64), np), axis=0
+    ).astype(np.float32)  # [T, out_hp, out_wp]
+
+    # --- per-tile footprints -------------------------------------------------
+    # (ly: window-relative first-tap row; lx: window-relative first-tap col)
+    tile_need = np.zeros((n_tiles, 2), np.int64)  # wh, ww needed
+    tile_y0 = np.zeros(n_tiles, np.int64)
+    tile_x0 = np.zeros(n_tiles, np.int64)
+    tile_lx = np.zeros((n_tiles, TPo), np.int64)
+    Wp_ring = W  # x wrap ring size (pre-pad coordinates)
+    for ti in range(n_ty):
+        for tj in range(n_tx):
+            k = ti * n_tx + tj
+            ys = slice(ti * TH, (ti + 1) * TH)
+            xs = slice(tj * TW, (tj + 1) * TW)
+            tb_y = by_p[ys, xs]
+            tb_x = bx_p[ys, xs]
+            y0 = int(tb_y.min())
+            wh = int(tb_y.max()) - y0 + T
+            if spec.wrap:
+                x0, _ = _circular_origin(tb_x.reshape(-1), Wp_ring)
+                lx = np.where(tb_x < x0, tb_x + Wp_ring, tb_x) - x0
+            else:
+                x0 = int(tb_x.min())
+                lx = tb_x - x0
+            x0a = (x0 // 8) * 8
+            lx = lx + (x0 - x0a)
+            # px ordering: px = c*8 + r (column-major within the tile) so
+            # 8 consecutive px share one aligned output store
+            lx = lx.T.reshape(-1)
+            tile_y0[k] = y0
+            tile_x0[k] = x0a
+            tile_lx[k] = lx
+            tile_need[k, 0] = wh
+            tile_need[k, 1] = ((int(lx.max()) // 8) * 8) + XW
+    # rung selection: ladder entries capped by the actual maximum needs
+    # (small planes) and deduplicated; tiles beyond the last rung -> fb
+    max_wh = int(tile_need[:, 0].max())
+    max_ww = int(tile_need[:, 1].max())
+    rungs: List[Tuple[int, int]] = []
+    for wh, ww in _LADDER:
+        wh = min(wh, max_wh, hp)
+        ww = min(ww, max_ww)
+        if wh * ww * LANES > _WINDOW_BYTES_MAX:
+            continue
+        if rungs and rungs[-1] == (wh, ww):
+            continue
+        rungs.append((wh, ww))
+    assign = np.full(n_tiles, -1, np.int64)
+    for ri, (wh, ww) in enumerate(rungs):
+        sel = (assign < 0) & (tile_need[:, 0] <= wh) & (tile_need[:, 1] <= ww)
+        assign[sel] = ri
+
+    wp = -(-(W + pad_left + max(ww for _, ww in rungs)) // 8) * 8
+
+    classes = []
+    for ri, (wh, ww) in enumerate(rungs):
+        ids = np.nonzero(assign == ri)[0]
+        if ids.size == 0:
+            continue
+        n = ids.size
+        meta = np.zeros((3, n), np.int32)
+        idx = np.zeros((n, 3, TPo), np.int32)
+        wyb = np.zeros((n, T + 1, TPo), np.float32)
+        for j, k in enumerate(ids):
+            ti, tj = divmod(int(k), n_tx)
+            ys = slice(ti * TH, (ti + 1) * TH)
+            xs = slice(tj * TW, (tj + 1) * TW)
+            # slide the window origin so a rung larger than the tile's need
+            # never overruns the plane; relative indices shift to match
+            # (x slides stay multiples of 8, preserving the off/code split)
+            y0 = max(0, min(int(tile_y0[k]), hp - wh))
+            x0 = min(int(tile_x0[k]), wp - ww)
+            assert 0 <= y0 <= hp - wh and 0 <= x0 <= wp - ww and x0 % 8 == 0
+            meta[0, j] = k
+            meta[1, j] = y0
+            meta[2, j] = x0
+            ly = (by_p[ys, xs] - y0).T.reshape(-1)
+            lx = tile_lx[k] + (int(tile_x0[k]) - x0)
+            assert lx.min() >= 0 and (lx.max() // 8) * 8 + XW <= ww
+            assert ly.min() >= 0 and ly.max() + T <= wh
+            lxq = (lx // 8) * 8
+            off = lx - lxq
+            fxi = fxi_p[ys, xs].T.reshape(-1)
+            idx[j, 0] = ly
+            idx[j, 1] = lxq
+            idx[j, 2] = fxi * 8 + off
+            wy = wy_all[:, ys, xs].reshape(T, -1)  # [T, TH*TW] row-major
+            wy = wy.reshape(T, TH, TW).transpose(0, 2, 1).reshape(T, TPo)
+            if valid_p is not None:
+                va = valid_p[ys, xs].T.reshape(-1)
+                wy = np.where(va[None, :], wy, 0.0)
+                wyb[j, T] = np.where(va, 0.0, fill)
+            wyb[j, :T] = wy
+        classes.append(
+            LaneClass(
+                win_h=wh,
+                win_w=ww,
+                n=n,
+                double_buf=(wh * ww * LANES <= _DOUBLE_BUF_BYTES),
+                meta=meta,
+                idx=idx,
+                wyb=wyb,
+            )
+        )
+
+    # XLA fallback for tiles above the largest rung
+    fb_ids = np.nonzero(assign < 0)[0]
+    if fb_ids.size:
+        nf = fb_ids.size
+        fb_idx = np.zeros((nf, TPo), np.int64)
+        fb_wy = np.zeros((nf, T, TPo), np.float32)
+        fb_wx = np.zeros((nf, T, TPo), np.float32)
+        fb_bias = np.zeros((nf, TPo), np.float32)
+        wx_taps = _tap_weights(
+            spec.interp, (np.arange(INTER_TAB_SIZE) / INTER_TAB_SIZE), np
+        )
+        for j, k in enumerate(fb_ids):
+            ti, tj = divmod(int(k), n_tx)
+            ys = slice(ti * TH, (ti + 1) * TH)
+            xs = slice(tj * TW, (tj + 1) * TW)
+            by = by_p[ys, xs].T.reshape(-1)
+            bx = (bx_p[ys, xs] + (0 if spec.wrap else 0)).T.reshape(-1)
+            fxi = fxi_p[ys, xs].T.reshape(-1)
+            fb_idx[j] = by * wp + bx
+            wy = wy_all[:, ys, xs].reshape(T, TH, TW).transpose(0, 2, 1)
+            fb_wy[j] = wy.reshape(T, TPo)
+            fb_wx[j] = np.stack([wx_taps[u][fxi] for u in range(T)], axis=0)
+            if valid_p is not None:
+                va = valid_p[ys, xs].T.reshape(-1)
+                fb_wy[j] = np.where(va[None, :], fb_wy[j], 0.0)
+                fb_bias[j] = np.where(va, 0.0, fill)
+        fb = dict(
+            fb_ids=fb_ids.astype(np.int32),
+            fb_idx=fb_idx,
+            fb_wy=fb_wy,
+            fb_wx=fb_wx,
+            fb_bias=fb_bias,
+        )
+    else:
+        fb = dict(fb_ids=None, fb_idx=None, fb_wy=None, fb_wx=None, fb_bias=None)
+
+    return LaneRemapPlan(
+        interp=spec.interp,
+        taps=T,
+        in_h=H,
+        in_w=W,
+        pad_y=pad_y,
+        pad_left=pad_left,
+        hp=hp,
+        wp=wp,
+        out_h=out_h,
+        out_w=out_w,
+        out_hp=out_hp,
+        out_wp=out_wp,
+        n_tiles=n_tiles,
+        fill=fill,
+        wrap=spec.wrap,
+        wt=_weight_table(spec.interp),
+        classes=tuple(classes),
+        **fb,
+    )
+
+
+def pad_plane_lane(plan: LaneRemapPlan, x: jnp.ndarray) -> jnp.ndarray:
+    """uint8 [B, H, W] -> padded uint8 [B, hp, wp] (wrap or replicate)."""
+    py = plan.pad_y
+    if plan.wrap:
+        top, bot = x[:, -py:, :], x[:, :py, :]
+    else:
+        top = jnp.repeat(x[:, :1, :], py, axis=1)
+        bot = jnp.repeat(x[:, -1:, :], py, axis=1)
+    x = jnp.concatenate([top, x, bot], axis=1)
+    if plan.pad_left:
+        x = jnp.concatenate(
+            [jnp.repeat(x[:, :, :1], plan.pad_left, axis=2), x], axis=2
+        )
+    pr = plan.wp - x.shape[2]
+    if plan.wrap:
+        reps = -(-pr // plan.in_w)
+        right = jnp.concatenate([x] * reps, axis=2)[:, :, :pr]
+    else:
+        right = jnp.repeat(x[:, :, -1:], pr, axis=2)
+    return jnp.concatenate([x, right], axis=2)
+
+
+def _make_lane_kernel(plan: LaneRemapPlan, cls: LaneClass):
+    T = plan.taps
+    wh, ww = cls.win_h, cls.win_w
+    n = cls.n
+    nbuf = 2 if cls.double_buf else 1
+
+    def kernel(meta_ref, idx_ref, wyb_ref, wt_ref, src_ref, out_ref,
+               win, sems):
+        i = pl.program_id(0)
+
+        def dma(slot, t):
+            return pltpu.make_async_copy(
+                src_ref.at[
+                    pl.ds(meta_ref[1, t], wh),
+                    pl.ds(pl.multiple_of(meta_ref[2, t], 8), ww),
+                    :,
+                ],
+                win.at[slot],
+                sems.at[slot],
+            )
+
+        if nbuf == 2:
+            @pl.when(i == 0)
+            def _():
+                dma(0, 0).start()
+
+            @pl.when(i + 1 < n)
+            def _():
+                dma((i + 1) % 2, i + 1).start()
+
+            slot = i % 2
+            dma(slot, i).wait()
+        else:
+            slot = 0
+            dma(0, i).start()
+            dma(0, i).wait()
+
+        def body(o, carry):
+            rows = []
+            for s in range(TH):
+                px = o * TH + s
+                ly = idx_ref[0, 0, px]
+                lxq = pl.multiple_of(idx_ref[0, 1, px], 8)
+                code = idx_ref[0, 2, px]
+                acc16 = None
+                for t in range(T):
+                    v = win[slot, pl.ds(ly + t, 1), pl.ds(lxq, XW), :]
+                    vf = v.astype(jnp.int32).astype(jnp.float32)
+                    term = wyb_ref[0, t, px] * vf
+                    acc16 = term if acc16 is None else acc16 + term
+                wv = wt_ref[pl.ds(code, 1), :, :]   # (1, XW, 1)
+                xa = jnp.sum(acc16 * wv, axis=1) + wyb_ref[0, T, px]
+                rows.append(xa)                      # (1, LANES)
+            blk = jnp.concatenate(rows, axis=0)      # (TH, LANES)
+            blk = jnp.clip(jnp.floor(blk + 0.5), 0.0, 255.0)
+            out_ref[0, pl.ds(o, 1), :, :] = (
+                blk.astype(jnp.int32).astype(jnp.uint8)[None]
+            )
+            return carry
+
+        jax.lax.fori_loop(0, TPo // TH, body, 0)
+
+    return kernel
+
+
+def _run_lane_class(plan, cls: LaneClass, padded, prev_out, interpret):
+    """padded: uint8 [hp, wp, LANES]; out: uint8 [n_tiles, TW, TH, LANES]."""
+    T = plan.taps
+    nbuf = 2 if cls.double_buf else 1
+    kernel = _make_lane_kernel(plan, cls)
+    args = [
+        jnp.asarray(cls.meta),
+        jnp.asarray(cls.idx),
+        jnp.asarray(cls.wyb),
+        jnp.asarray(plan.wt),
+        padded,
+    ]
+    in_specs = [
+        pl.BlockSpec((1, 3, TPo), lambda i, m: (i, 0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, T + 1, TPo), lambda i, m: (i, 0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((256, XW, 1), lambda i, m: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    kwargs = {}
+    if prev_out is not None:
+        args.append(prev_out)
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        kwargs["input_output_aliases"] = {5: 0}
+
+        def kfn(meta_ref, idx_ref, wyb_ref, wt_ref, src_ref, prev_ref,
+                out_ref, win, sems):
+            del prev_ref
+            kernel(meta_ref, idx_ref, wyb_ref, wt_ref, src_ref, out_ref,
+                   win, sems)
+    else:
+        kfn = kernel
+
+    gs = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(cls.n,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, TW, TH, LANES),
+            lambda i, m: (m[0, i], 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((nbuf, cls.win_h, cls.win_w, LANES), jnp.uint8),
+            pltpu.SemaphoreType.DMA((nbuf,)),
+        ],
+    )
+    return pl.pallas_call(
+        kfn,
+        grid_spec=gs,
+        out_shape=jax.ShapeDtypeStruct(
+            (plan.n_tiles, TW, TH, LANES), jnp.uint8
+        ),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        **kwargs,
+    )(*args)
+
+
+def _run_lane_fallback(plan: LaneRemapPlan, padded, tiles_out):
+    """XLA gather patch for tiles beyond the ladder (padded: [hp, wp, B])."""
+    if plan.fb_ids is None:
+        return tiles_out
+    T = plan.taps
+    flat = padded.reshape(plan.hp * plan.wp, LANES)
+    nf = plan.fb_ids.shape[0]
+    base = jnp.asarray(plan.fb_idx.reshape(-1))  # [nf*TPo]
+    acc = None
+    for t in range(T):
+        for u in range(T):
+            g = jnp.take(flat, base + (t * plan.wp + u), axis=0)
+            w = (plan.fb_wy[:, t, :] * plan.fb_wx[:, u, :]).reshape(-1)
+            term = jnp.asarray(w)[:, None] * g.astype(jnp.float32)
+            acc = term if acc is None else acc + term
+    acc = acc + jnp.asarray(plan.fb_bias.reshape(-1))[:, None]
+    vals = jnp.clip(jnp.floor(acc + 0.5), 0.0, 255.0).astype(jnp.uint8)
+    vals = vals.reshape(nf, TW, TH, LANES)
+    for j in range(nf):
+        tiles_out = jax.lax.dynamic_update_slice(
+            tiles_out, vals[j : j + 1], (int(plan.fb_ids[j]), 0, 0, 0)
+        )
+    return tiles_out
+
+
+def remap_lane(
+    plan: LaneRemapPlan, plane_u8: jnp.ndarray, interpret: bool = False
+) -> jnp.ndarray:
+    """Remap uint8 [B, H, W] -> uint8 [B, out_h, out_w], batch in lanes.
+
+    B is processed in chunks of 128 lanes; a final partial chunk is padded
+    (the caller should prefer B % 128 == 0 for full efficiency).
+    """
+    B = plane_u8.shape[0]
+    if B > LANES:
+        parts = [
+            remap_lane(plan, plane_u8[k : k + LANES], interpret)
+            for k in range(0, B, LANES)
+        ]
+        return jnp.concatenate(parts, axis=0)
+    bp = LANES - B
+    if bp:
+        plane_u8 = jnp.concatenate(
+            [plane_u8, jnp.zeros((bp,) + plane_u8.shape[1:], jnp.uint8)],
+            axis=0,
+        )
+    padded = pad_plane_lane(plan, plane_u8)          # [128, hp, wp]
+    padded = jnp.transpose(padded, (1, 2, 0))        # [hp, wp, 128]
+    out = None
+    for cls in plan.classes:
+        out = _run_lane_class(plan, cls, padded, out, interpret)
+    if out is None:
+        out = jnp.full((plan.n_tiles, TW, TH, LANES), int(plan.fill), jnp.uint8)
+    out = _run_lane_fallback(plan, padded, out)
+    n_ty, n_tx = plan.out_hp // TH, plan.out_wp // TW
+    out = out.reshape(n_ty, n_tx, TW, TH, LANES)
+    out = jnp.transpose(out, (0, 3, 1, 2, 4))        # [n_ty, TH, n_tx, TW, B]
+    out = out.reshape(plan.out_hp, plan.out_wp, LANES)
+    out = out[: plan.out_h, : plan.out_w, :]
+    return jnp.transpose(out, (2, 0, 1))[:B]

@@ -37,9 +37,29 @@ import jax.numpy as jnp
 import numpy as np
 
 from .filtering import apply_blur
+from .ops.remap_lane import build_lane_remap, remap_lane
 from .ops.remap_pallas import remap_pallas
 from .plan import PlanePlan, TransformPlan
 from .sampling import apply_area_resize, remap_const
+
+# Batch size at or above which the lane-batched kernel (batch in vector
+# lanes, ~16x the window-gather kernel's per-frame rate at batch 128) is
+# preferred.  Below it, lane padding to 128 wastes too much of the vector
+# unit and the window-gather kernel wins.
+LANE_MIN_BATCH = int(os.environ.get("TRANSFORM360_LANE_MIN_BATCH", "32"))
+
+_LANE_CACHE: Dict[str, object] = {}
+_LANE_MISS = object()
+
+
+def _lane_plan(pp: PlanePlan):
+    """Lane-kernel plan for a plane class, built lazily (it walks every
+    output tile in Python) and cached by plan identity."""
+    lp = _LANE_CACHE.get(pp.key, _LANE_MISS)
+    if lp is _LANE_MISS:
+        lp = build_lane_remap(pp.spec, float(pp.fill))
+        _LANE_CACHE[pp.key] = lp
+    return lp
 
 
 def _round_u8(x: jnp.ndarray) -> jnp.ndarray:
@@ -63,7 +83,11 @@ def _plane_program(pp: PlanePlan, use_pallas: bool, interpret: bool = False):
         if pp.blur is not None:
             x = _round_u8(apply_blur(pp.blur, x.astype(jnp.float32)))
         if use_pallas:
-            out = remap_pallas(pp.pallas, x, interpret=interpret)
+            lane = _lane_plan(pp) if x.shape[0] >= LANE_MIN_BATCH else None
+            if lane is not None:
+                out = remap_lane(lane, x, interpret=interpret)
+            else:
+                out = remap_pallas(pp.pallas, x, interpret=interpret)
         else:
             scaled = remap_const(
                 spec, x.reshape(x.shape[0], -1), float(pp.fill)
@@ -98,6 +122,7 @@ def plane_executor(pp: PlanePlan) -> Callable:
 
 def clear_executor_cache() -> None:
     _EXEC_CACHE.clear()
+    _LANE_CACHE.clear()
 
 
 def device_put_plan(plan: TransformPlan, device=None) -> TransformPlan:
