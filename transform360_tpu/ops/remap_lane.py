@@ -487,6 +487,52 @@ def _run_lane_fallback(plan: LaneRemapPlan, padded, tiles_out):
     return tiles_out
 
 
+def pad_plane_lane_hwb(plan: LaneRemapPlan, x: jnp.ndarray) -> jnp.ndarray:
+    """uint8 [H, W, 128] (lane layout) -> padded uint8 [hp, wp, 128]."""
+    py = plan.pad_y
+    if plan.wrap:
+        top, bot = x[-py:], x[:py]
+    else:
+        top = jnp.repeat(x[:1], py, axis=0)
+        bot = jnp.repeat(x[-1:], py, axis=0)
+    x = jnp.concatenate([top, x, bot], axis=0)
+    if plan.pad_left:
+        x = jnp.concatenate(
+            [jnp.repeat(x[:, :1], plan.pad_left, axis=1), x], axis=1
+        )
+    pr = plan.wp - x.shape[1]
+    if plan.wrap:
+        reps = -(-pr // plan.in_w)
+        right = jnp.concatenate([x] * reps, axis=1)[:, :pr]
+    else:
+        right = jnp.repeat(x[:, -1:], pr, axis=1)
+    return jnp.concatenate([x, right], axis=1)
+
+
+def _remap_core(plan: LaneRemapPlan, padded, interpret) -> jnp.ndarray:
+    """padded [hp, wp, 128] -> output [out_h, out_w, 128] (lane layout)."""
+    out = None
+    for cls in plan.classes:
+        out = _run_lane_class(plan, cls, padded, out, interpret)
+    if out is None:
+        out = jnp.full((plan.n_tiles, TW, TH, LANES), int(plan.fill), jnp.uint8)
+    out = _run_lane_fallback(plan, padded, out)
+    n_ty, n_tx = plan.out_hp // TH, plan.out_wp // TW
+    out = out.reshape(n_ty, n_tx, TW, TH, LANES)
+    out = jnp.transpose(out, (0, 3, 1, 2, 4))        # [n_ty, TH, n_tx, TW, B]
+    out = out.reshape(plan.out_hp, plan.out_wp, LANES)
+    return out[: plan.out_h, : plan.out_w, :]
+
+
+def remap_lane_hwb(
+    plan: LaneRemapPlan, x: jnp.ndarray, interpret: bool = False
+) -> jnp.ndarray:
+    """Remap a lane-layout plane: uint8 [H, W, 128] -> [128, out_h, out_w]."""
+    padded = pad_plane_lane_hwb(plan, x)
+    out = _remap_core(plan, padded, interpret)
+    return jnp.transpose(out, (2, 0, 1))
+
+
 def remap_lane(
     plan: LaneRemapPlan, plane_u8: jnp.ndarray, interpret: bool = False
 ) -> jnp.ndarray:
@@ -510,15 +556,5 @@ def remap_lane(
         )
     padded = pad_plane_lane(plan, plane_u8)          # [128, hp, wp]
     padded = jnp.transpose(padded, (1, 2, 0))        # [hp, wp, 128]
-    out = None
-    for cls in plan.classes:
-        out = _run_lane_class(plan, cls, padded, out, interpret)
-    if out is None:
-        out = jnp.full((plan.n_tiles, TW, TH, LANES), int(plan.fill), jnp.uint8)
-    out = _run_lane_fallback(plan, padded, out)
-    n_ty, n_tx = plan.out_hp // TH, plan.out_wp // TW
-    out = out.reshape(n_ty, n_tx, TW, TH, LANES)
-    out = jnp.transpose(out, (0, 3, 1, 2, 4))        # [n_ty, TH, n_tx, TW, B]
-    out = out.reshape(plan.out_hp, plan.out_wp, LANES)
-    out = out[: plan.out_h, : plan.out_w, :]
+    out = _remap_core(plan, padded, interpret)
     return jnp.transpose(out, (2, 0, 1))[:B]

@@ -37,7 +37,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from .filtering import apply_blur
-from .ops.remap_lane import build_lane_remap, remap_lane
+from .ops.blur_lane import blur_lane, build_blur_lane
+from .ops.remap_lane import build_lane_remap, remap_lane, remap_lane_hwb
 from .ops.remap_pallas import remap_pallas
 from .plan import PlanePlan, TransformPlan
 from .sampling import apply_area_resize, remap_const
@@ -62,6 +63,40 @@ def _lane_plan(pp: PlanePlan):
     return lp
 
 
+def _blur_lane_plan(pp: PlanePlan):
+    key = ("blur", pp.key)
+    bl = _LANE_CACHE.get(key, _LANE_MISS)
+    if bl is _LANE_MISS:
+        bl = build_blur_lane(pp.blur, pp.in_h, pp.in_w)
+        _LANE_CACHE[key] = bl
+    return bl
+
+
+def _lane_chunked(pp: PlanePlan, lane, x, interpret):
+    """Full lane-layout plane program for uint8 [B, H, W]: one transpose
+    into [H, W, 128] per 128-frame chunk, blur (when the lane blur covers
+    the config) and remap both batch-in-lanes, transpose back."""
+    bl = _blur_lane_plan(pp) if pp.blur is not None else None
+    if pp.blur is not None and bl is None:
+        # prefilter config outside the lane blur's scope: XLA blur first
+        x = _round_u8(apply_blur(pp.blur, x.astype(jnp.float32)))
+    B = x.shape[0]
+    outs = []
+    for k in range(0, B, 128):
+        c = x[k : k + 128]
+        if c.shape[0] < 128:
+            c = jnp.concatenate(
+                [c, jnp.zeros((128 - c.shape[0],) + c.shape[1:], jnp.uint8)],
+                axis=0,
+            )
+        ct = jnp.transpose(c, (1, 2, 0))
+        if bl is not None:
+            ct = blur_lane(bl, ct, interpret=interpret)
+        outs.append(remap_lane_hwb(lane, ct, interpret=interpret))
+    out = jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+    return out[:B]
+
+
 def _round_u8(x: jnp.ndarray) -> jnp.ndarray:
     """OpenCV-style half-up rounding with uint8 saturation."""
     return jnp.clip(jnp.floor(x + 0.5), 0.0, 255.0).astype(jnp.uint8)
@@ -80,19 +115,21 @@ def _plane_program(pp: PlanePlan, use_pallas: bool, interpret: bool = False):
     spec = pp.spec
 
     def program(x):
-        if pp.blur is not None:
-            x = _round_u8(apply_blur(pp.blur, x.astype(jnp.float32)))
-        if use_pallas:
-            lane = _lane_plan(pp) if x.shape[0] >= LANE_MIN_BATCH else None
-            if lane is not None:
-                out = remap_lane(lane, x, interpret=interpret)
-            else:
-                out = remap_pallas(pp.pallas, x, interpret=interpret)
+        lane = None
+        if use_pallas and x.shape[0] >= LANE_MIN_BATCH:
+            lane = _lane_plan(pp)
+        if lane is not None:
+            out = _lane_chunked(pp, lane, x, interpret)
         else:
-            scaled = remap_const(
-                spec, x.reshape(x.shape[0], -1), float(pp.fill)
-            )
-            out = _round_u8(scaled).reshape(-1, pp.scaled_h, pp.scaled_w)
+            if pp.blur is not None:
+                x = _round_u8(apply_blur(pp.blur, x.astype(jnp.float32)))
+            if use_pallas:
+                out = remap_pallas(pp.pallas, x, interpret=interpret)
+            else:
+                scaled = remap_const(
+                    spec, x.reshape(x.shape[0], -1), float(pp.fill)
+                )
+                out = _round_u8(scaled).reshape(-1, pp.scaled_h, pp.scaled_w)
         if pp.area_row is not None:
             out = _round_u8(
                 apply_area_resize(
