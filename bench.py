@@ -49,16 +49,18 @@ def main():
     # steps runs inside ONE jitted program — each step consumes the
     # previous step's output (serialized on device, dedup-proof), and the
     # per-step time comes from the difference between two chain lengths.
-    from transform360_tpu.pipeline import plane_executor, _plane_program, _use_pallas
+    # Plan arrays are hoisted into runtime arguments (ops/staging.py), so
+    # the chained program's HLO stays small for any plan size.
+    from transform360_tpu.pipeline import plane_executor
 
-    luma = _plane_program(plan.luma, _use_pallas(plan.luma))
-    chroma = _plane_program(plan.chroma, _use_pallas(plan.chroma))
+    lfn, _, lc = plane_executor(plan.luma).staged_for(y)
+    cfn, _, cc = plane_executor(plan.chroma).staged_for(u)
 
     def make_chain(n):
         @jax.jit
-        def chain(y, u, v):
+        def chain(y, u, v, lc, cc):
             for _ in range(n):
-                oy, ou, ov = luma(y), chroma(u), chroma(v)
+                oy, ou, ov = lfn(y, lc), cfn(u, cc), cfn(v, cc)
                 # chain on ALL outputs (an unused plane would be DCE'd)
                 d = oy[0, 0, 0] + ou[0, 0, 0] + ov[0, 0, 0]
                 y = y + d
@@ -70,12 +72,12 @@ def main():
 
     n_short, n_long = 2, 26
     c_short, c_long = make_chain(n_short), make_chain(n_long)
-    jax.block_until_ready(c_short(y, u, v))  # compile
-    jax.block_until_ready(c_long(y, u, v))
+    jax.block_until_ready(c_short(y, u, v, lc, cc))  # compile
+    jax.block_until_ready(c_long(y, u, v, lc, cc))
 
     def run(chain, k):
         t0 = time.perf_counter()
-        jax.block_until_ready(chain(y + np.uint8(k), u, v))
+        jax.block_until_ready(chain(y + np.uint8(k), u, v, lc, cc))
         return time.perf_counter() - t0
 
     t_short = min(run(c_short, k) for k in (1, 2, 3))

@@ -33,21 +33,38 @@ def main():
     u = np.clip(128 + 50 * np.sin(np.mgrid[0:ch, 0:cw][1] / 9.0), 0, 255).astype(np.uint8)
     v = np.clip(128 + 50 * np.cos(np.mgrid[0:ch, 0:cw][0] / 7.0), 0, 255).astype(np.uint8)
 
+    # the five BASELINE.json parity configs (plus the flagship default):
+    # 1 mono bilinear edge-512, 2 cubic edge-1024, 3 adaptive 32x15
+    # prefilter, 4 TB / LR stereo, 5 batched stream (checked below)
+    mono = dict(input_stereo_format=StereoFormat.MONO,
+                output_stereo_format=StereoFormat.MONO)
+    cases = [
+        ("default_cubic_lpf", (OUT_W, OUT_H), mono),
+        ("bilinear_nolpf_512", (OUT_W, OUT_H),
+         dict(interpolation_alg=Interpolation.LINEAR,
+              enable_low_pass_filter=0, **mono)),
+        ("cubic_edge1024", (3072, 2048), mono),
+        ("adaptive_32x15", (OUT_W, OUT_H),
+         dict(num_vertical_segments=32, num_horizontal_segments=15,
+              adjust_kernel=1, **mono)),
+        ("stereo_tb", (OUT_W, OUT_H),
+         dict(input_stereo_format=StereoFormat.TB,
+              output_stereo_format=StereoFormat.TB)),
+        ("stereo_lr", (OUT_W, OUT_H),
+         dict(input_stereo_format=StereoFormat.LR,
+              output_stereo_format=StereoFormat.LR)),
+    ]
+    if len(sys.argv) > 1:
+        keep = set(sys.argv[1].split(","))
+        cases = [c for c in cases if c[0] in keep]
+
     results = {}
-    for name, kw in [
-        ("default_cubic_lpf", dict()),
-        ("bilinear_nolpf", dict(interpolation_alg=Interpolation.LINEAR,
-                                enable_low_pass_filter=0)),
-    ]:
-        cfg = TransformConfig(
-            input_stereo_format=StereoFormat.MONO,
-            output_stereo_format=StereoFormat.MONO,
-            **kw,
-        )
-        plan = build_plan(cfg, IN_W, IN_H, OUT_W, OUT_H)
+    for name, (ow, oh), kw in cases:
+        cfg = TransformConfig(**kw)
+        plan = build_plan(cfg, IN_W, IN_H, ow, oh)
         got = transform_batch(plan, y, u, v)
         got = [np.asarray(g) for g in got]
-        want = oracle.transform_frame_yuv420(cfg, (y, u, v), OUT_W, OUT_H)
+        want = oracle.transform_frame_yuv420(cfg, (y, u, v), ow, oh)
         db = {}
         for pname, g, w in zip("YUV", got, want):
             mse = np.mean((g.astype(np.float64) - w.astype(np.float64)) ** 2)
@@ -56,9 +73,22 @@ def main():
         print(json.dumps({"config": name, "psnr_db": db,
                           "backend": jax.default_backend()}), flush=True)
 
+    # config 5: batched stream — batch output must equal per-frame output
+    cfg = TransformConfig(**mono)
+    plan = build_plan(cfg, IN_W, IN_H, OUT_W, OUT_H)
+    yb = np.stack([y, np.roll(y, 13, axis=1), np.roll(y, -9, axis=0)])
+    ub = np.stack([u, np.roll(u, 5, axis=1), np.roll(u, -3, axis=0)])
+    vb = np.stack([v, np.roll(v, 2, axis=1), np.roll(v, -7, axis=0)])
+    gb = [np.asarray(p) for p in transform_batch(plan, yb, ub, vb)]
+    g1 = [np.asarray(p) for p in transform_batch(plan, yb[1], ub[1], vb[1])]
+    batch_ok = all(np.array_equal(b[1], s) for b, s in zip(gb, g1))
+    print(json.dumps({"config": "batched_stream",
+                      "batch_matches_single": bool(batch_ok)}), flush=True)
+
     worst = min(min(d.values()) for d in results.values())
-    print(json.dumps({"worst_psnr_db": worst, "pass_50db": bool(worst >= 50.0)}))
-    return 0 if worst >= 50.0 else 1
+    ok = worst >= 50.0 and batch_ok
+    print(json.dumps({"worst_psnr_db": worst, "pass_50db": bool(ok)}))
+    return 0 if ok else 1
 
 
 if __name__ == "__main__":

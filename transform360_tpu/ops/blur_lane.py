@@ -33,6 +33,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..config import StereoFormat
 from ..filtering import BlurPlan
+from .staging import staged
 
 TH = 8          # output tile rows
 TW = 256        # output tile cols
@@ -197,7 +198,7 @@ def _make_blur_kernel(cls: BlurClass):
 
 def _run_blur_class(plan, cls: BlurClass, padded, prev_out, interpret):
     kernel = _make_blur_kernel(cls)
-    args = [jnp.asarray(cls.meta), padded]
+    args = [staged(cls.meta), padded]
     in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
     kwargs = {}
     if prev_out is not None:

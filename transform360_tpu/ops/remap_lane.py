@@ -44,6 +44,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import Interpolation
+from .staging import staged
 from ..sampling import INTER_TAB_SIZE, SampleSpec, _TAPS, _tap_weights
 
 TH, TW = 8, 32       # output tile (rows, cols)
@@ -407,10 +408,10 @@ def _run_lane_class(plan, cls: LaneClass, padded, prev_out, interpret):
     nbuf = 2 if cls.double_buf else 1
     kernel = _make_lane_kernel(plan, cls)
     args = [
-        jnp.asarray(cls.meta),
-        jnp.asarray(cls.idx),
-        jnp.asarray(cls.wyb),
-        jnp.asarray(plan.wt),
+        staged(cls.meta),
+        staged(cls.idx),
+        staged(cls.wyb),
+        staged(plan.wt),
         padded,
     ]
     in_specs = [
@@ -469,15 +470,17 @@ def _run_lane_fallback(plan: LaneRemapPlan, padded, tiles_out):
     T = plan.taps
     flat = padded.reshape(plan.hp * plan.wp, LANES)
     nf = plan.fb_ids.shape[0]
-    base = jnp.asarray(plan.fb_idx.reshape(-1))  # [nf*TPo]
+    base = staged(plan.fb_idx).reshape(-1)  # [nf*TPo]
+    fwy = staged(plan.fb_wy)
+    fwx = staged(plan.fb_wx)
     acc = None
     for t in range(T):
         for u in range(T):
             g = jnp.take(flat, base + (t * plan.wp + u), axis=0)
-            w = (plan.fb_wy[:, t, :] * plan.fb_wx[:, u, :]).reshape(-1)
-            term = jnp.asarray(w)[:, None] * g.astype(jnp.float32)
+            w = (fwy[:, t, :] * fwx[:, u, :]).reshape(-1)
+            term = w[:, None] * g.astype(jnp.float32)
             acc = term if acc is None else acc + term
-    acc = acc + jnp.asarray(plan.fb_bias.reshape(-1))[:, None]
+    acc = acc + staged(plan.fb_bias).reshape(-1)[:, None]
     vals = jnp.clip(jnp.floor(acc + 0.5), 0.0, 255.0).astype(jnp.uint8)
     vals = vals.reshape(nf, TW, TH, LANES)
     for j in range(nf):

@@ -45,6 +45,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import Interpolation
+from .staging import staged
 from ..sampling import SampleSpec, _TAPS, _tap_weights
 
 TH, TW = 8, 32      # subtile (rows, cols); TP = 256 pixels
@@ -70,9 +71,15 @@ class RemapClass:
     win_w: int
     gh: int         # per-group row sub-window height
     n: int          # number of supertiles
-    # meta [n, 2 + 2*SUB + SUB*PG] i32: oy, ox, (y0, x0) per subtile, then
-    # the per-(subtile, group) row sub-window offset (multiple of 8)
+    # meta [2 + 2*SUB, n] i32 (transposed: SMEM pads the minor dim to
+    # 128): oy, ox, (y0, x0) per subtile — the values the pipeline needs
+    # ahead of the current step (index maps + next-window DMA)
     meta: np.ndarray
+    # gy0 [n, 1, SUB*PG] i32: per-(subtile, group) row sub-window offsets
+    # (multiples of 8), delivered as a per-step blocked SMEM input so the
+    # scalar-prefetch array stays small for big plans (the trailing dims
+    # are block-complete, as Pallas requires for blocked SMEM)
+    gy0: np.ndarray
     lx: np.ndarray  # [n, SUB, PG, 128] i32 window-relative first-tap col
     ly: np.ndarray  # [n, SUB, PG, 128] i32 GROUP-window-relative first-tap row
     wx: np.ndarray  # [n, SUB, PG, 128] f32 x-tap weight (0 for dead lanes)
@@ -219,7 +226,8 @@ def build_pallas_remap(spec: SampleSpec, fill: float) -> Optional["PallasRemapPl
             return None
         wh, ww, gh = cls_dims
         n = len(ents)
-        meta = np.zeros((n, 2 + 2 * SUB + SUB * pg), np.int32)
+        meta = np.zeros((n, 2 + 2 * SUB), np.int32)
+        gy0s = np.zeros((n, 1, SUB * pg), np.int32)
         shp = (n, SUB, pg, LANES)
         lx = np.zeros(shp, np.int32)
         ly = np.zeros(shp, np.int32)
@@ -254,7 +262,7 @@ def build_pallas_remap(spec: SampleSpec, fill: float) -> Optional["PallasRemapPl
                     lyw = np.clip(tb_y[pxc] - y0, 0, wh - T)
                     gy0 = int(np.clip((lyw.min() // Y_ALIGN) * Y_ALIGN,
                                       0, wh - gh))
-                    meta[k, 2 + 2 * SUB + s * pg + g] = gy0
+                    gy0s[k, 0, s * pg + g] = gy0
                     ly[k, s, g] = np.clip(lyw - gy0, 0, gh - T)
                     fyl[k, s, g] = tfy[pxc]
                     w = twx[pxc, lane_tx]
@@ -264,7 +272,7 @@ def build_pallas_remap(spec: SampleSpec, fill: float) -> Optional["PallasRemapPl
                         )
                         w = np.where(tva[pxc], w, 0.0)
                     wx[k, s, g] = w
-        return RemapClass(wh, ww, gh, n, meta, lx, ly, wx, fyl, addb)
+        return RemapClass(wh, ww, gh, n, meta.T.copy(), gy0s, lx, ly, wx, fyl, addb)
 
     built = tuple(
         c
@@ -390,7 +398,7 @@ def _make_kernel(plan: PallasRemapPlan, cls: RemapClass, batch: int):
     interp = plan.interp
     n = cls.n
 
-    def kernel(meta_ref, lx_ref, ly_ref, wx_ref, fy_ref, addb_ref,
+    def kernel(meta_ref, gy0_ref, lx_ref, ly_ref, wx_ref, fy_ref, addb_ref,
                src_ref, out_ref, win, sems):
         i = pl.program_id(0)
 
@@ -398,8 +406,8 @@ def _make_kernel(plan: PallasRemapPlan, cls: RemapClass, batch: int):
             return pltpu.make_async_copy(
                 src_ref.at[
                     :,
-                    pl.ds(pl.multiple_of(meta_ref[t, 2 + 2 * s], Y_ALIGN), wh),
-                    pl.ds(pl.multiple_of(meta_ref[t, 3 + 2 * s], X_ALIGN), ww),
+                    pl.ds(pl.multiple_of(meta_ref[2 + 2 * s, t], Y_ALIGN), wh),
+                    pl.ds(pl.multiple_of(meta_ref[3 + 2 * s, t], X_ALIGN), ww),
                 ],
                 win.at[slot, s],
                 sems.at[slot, s],
@@ -450,9 +458,7 @@ def _make_kernel(plan: PallasRemapPlan, cls: RemapClass, batch: int):
                     chunk = None
                     within = lx
                 idxx = jnp.broadcast_to(within[None, :], (batch * gh, LANES))
-                r0 = pl.multiple_of(
-                    meta_ref[i, 2 + 2 * SUB + s * PG + g], Y_ALIGN
-                )
+                r0 = pl.multiple_of(gy0_ref[0, 0, s * PG + g], Y_ALIGN)
                 ws = win[slot, s, :, pl.ds(r0, gh), :]  # [B, gh, ww] u8
                 wf = ws.astype(jnp.int32).astype(jnp.float32)
                 if n_chunks == 1:
@@ -511,16 +517,20 @@ def _run_class(plan, cls: RemapClass, padded, prev_out, interpret):
             memory_space=pltpu.VMEM,
         )
 
-    in_specs = [tile_spec() for _ in range(5)] + [
+    in_specs = [
+        pl.BlockSpec((1, 1, SUB * PG), lambda i, m: (i, 0, 0),
+                     memory_space=pltpu.SMEM),
+    ] + [tile_spec() for _ in range(5)] + [
         pl.BlockSpec(memory_space=pl.ANY)
     ]
     args = [
-        jnp.asarray(cls.meta),
-        jnp.asarray(cls.lx),
-        jnp.asarray(cls.ly),
-        jnp.asarray(cls.wx),
-        jnp.asarray(cls.fy),
-        jnp.asarray(cls.addb),
+        staged(cls.meta),
+        staged(cls.gy0),
+        staged(cls.lx),
+        staged(cls.ly),
+        staged(cls.wx),
+        staged(cls.fy),
+        staged(cls.addb),
         padded,
     ]
     kernel = _make_kernel(plan, cls, batch)
@@ -528,13 +538,13 @@ def _run_class(plan, cls: RemapClass, padded, prev_out, interpret):
     if prev_out is not None:
         args.append(prev_out)
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
-        kwargs["input_output_aliases"] = {7: 0}
+        kwargs["input_output_aliases"] = {8: 0}
 
-        def kfn(meta_ref, lx_ref, ly_ref, wx_ref, fy_ref, addb_ref,
+        def kfn(meta_ref, gy0_ref, lx_ref, ly_ref, wx_ref, fy_ref, addb_ref,
                 src_ref, prev_ref, out_ref, win, sems):
             del prev_ref
-            kernel(meta_ref, lx_ref, ly_ref, wx_ref, fy_ref, addb_ref,
-                   src_ref, out_ref, win, sems)
+            kernel(meta_ref, gy0_ref, lx_ref, ly_ref, wx_ref, fy_ref,
+                   addb_ref, src_ref, out_ref, win, sems)
     else:
         kfn = kernel
 
@@ -544,7 +554,7 @@ def _run_class(plan, cls: RemapClass, padded, prev_out, interpret):
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (batch, TH, TW * SUB),
-            lambda i, m: (0, m[i, 0], m[i, 1]),
+            lambda i, m: (0, m[0, i], m[1, i]),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
@@ -572,10 +582,10 @@ def _run_fallback(plan: PallasRemapPlan, padded: jnp.ndarray, out: jnp.ndarray):
     B = padded.shape[0]
     flat = padded.reshape(B, plan.hp * plan.wp)
     nf = plan.fb_rows.shape[0]
-    by = jnp.asarray(plan.fb_base_y.reshape(-1)) + plan.pad_y
-    bx = jnp.asarray(plan.fb_base_x.reshape(-1))
-    wy = _tap_weights(plan.interp, jnp.asarray(plan.fb_frac_y.reshape(-1)))
-    wx = _tap_weights(plan.interp, jnp.asarray(plan.fb_frac_x.reshape(-1)))
+    by = staged(plan.fb_base_y).reshape(-1) + plan.pad_y
+    bx = staged(plan.fb_base_x).reshape(-1)
+    wy = _tap_weights(plan.interp, staged(plan.fb_frac_y).reshape(-1))
+    wx = _tap_weights(plan.interp, staged(plan.fb_frac_x).reshape(-1))
     acc = None
     W, wp = plan.in_w, plan.wp
     for ty in range(T):
@@ -592,7 +602,7 @@ def _run_fallback(plan: PallasRemapPlan, padded: jnp.ndarray, out: jnp.ndarray):
             acc = term if acc is None else acc + term
     if plan.fb_valid is not None:
         acc = jnp.where(
-            jnp.asarray(plan.fb_valid.reshape(-1))[None, :],
+            staged(plan.fb_valid).reshape(-1)[None, :],
             acc,
             jnp.float32(plan.fill),
         )

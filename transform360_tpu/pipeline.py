@@ -40,6 +40,7 @@ from .filtering import apply_blur
 from .ops.blur_lane import blur_lane, build_blur_lane
 from .ops.remap_lane import build_lane_remap, remap_lane, remap_lane_hwb
 from .ops.remap_pallas import remap_pallas
+from .ops.staging import stage_program, staged
 from .plan import PlanePlan, TransformPlan
 from .sampling import apply_area_resize, remap_const
 
@@ -134,8 +135,8 @@ def _plane_program(pp: PlanePlan, use_pallas: bool, interpret: bool = False):
             out = _round_u8(
                 apply_area_resize(
                     out.astype(jnp.float32),
-                    jnp.asarray(pp.area_row),
-                    jnp.asarray(pp.area_col),
+                    staged(pp.area_row),
+                    staged(pp.area_col),
                 )
             )
         return out
@@ -146,13 +147,41 @@ def _plane_program(pp: PlanePlan, use_pallas: bool, interpret: bool = False):
 _EXEC_CACHE: Dict[Tuple[str, bool], Callable] = {}
 
 
+class _StagedExecutor:
+    """Shape-specialized jitted executor with plan arrays hoisted into
+    runtime arguments (see :mod:`ops.staging`) — big plans would otherwise
+    be embedded in the HLO as constants, bloating every compile."""
+
+    def __init__(self, program: Callable):
+        self._program = program
+        self._by_shape: Dict[Tuple, Tuple[Callable, Tuple]] = {}
+
+    def staged_for(self, x) -> Tuple[Callable, Callable, Tuple]:
+        """(fn, jitted_fn, device_consts) for this input shape;
+        ``fn(x, consts)`` is traceable inside a larger jit (benches
+        chain it)."""
+        key = (tuple(x.shape), x.dtype)
+        ent = self._by_shape.get(key)
+        if ent is None:
+            fn, consts = stage_program(
+                self._program, jax.ShapeDtypeStruct(x.shape, x.dtype)
+            )
+            ent = (fn, jax.jit(fn), jax.device_put(consts))
+            self._by_shape[key] = ent
+        return ent
+
+    def __call__(self, x):
+        _, jfn, consts = self.staged_for(x)
+        return jfn(x, consts)
+
+
 def plane_executor(pp: PlanePlan) -> Callable:
     """Jitted executor for one plane class, cached by plan identity."""
     use_pallas = _use_pallas(pp)
     key = (pp.key, use_pallas)
     fn = _EXEC_CACHE.get(key)
     if fn is None:
-        fn = jax.jit(_plane_program(pp, use_pallas))
+        fn = _StagedExecutor(_plane_program(pp, use_pallas))
         _EXEC_CACHE[key] = fn
     return fn
 
