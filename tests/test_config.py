@@ -112,6 +112,35 @@ def test_cube_edge_negotiation_and_mod16():
     assert (out_w, out_h) == (512 * 2, 512 * 3)
 
 
+def test_cube_edge_with_noncubemap_layout_uses_input_dims():
+    """vf_transform360.c:216-224: cube_edge_length with a non-cubemap
+    output layout leaves outlink dims at the input size (w/h expressions
+    are never evaluated); stereo doubling still applies."""
+    from transform360_tpu.config import negotiate_output_geometry, parse_options
+
+    opts = parse_options(
+        "cube_edge_length=64:output_layout=equirect:input_stereo_format=mono"
+    )
+    out_w, out_h, cfg = negotiate_output_geometry(opts, 640, 320)
+    assert (out_w, out_h) == (640, 320)
+
+    # w/h present but ignored on this path, like the reference
+    opts = parse_options(
+        "cube_edge_length=64:output_layout=equirect:w=100:h=50:"
+        "input_stereo_format=mono"
+    )
+    out_w, out_h, cfg = negotiate_output_geometry(opts, 640, 320)
+    assert (out_w, out_h) == (640, 320)
+
+    # TB output still doubles the defaulted height
+    opts = parse_options(
+        "cube_edge_length=64:output_layout=equirect:"
+        "input_stereo_format=tb:output_stereo_format=tb"
+    )
+    out_w, out_h, cfg = negotiate_output_geometry(opts, 640, 640)
+    assert (out_w, out_h) == (640, 1280)
+
+
 def test_wh_expression_evaluation():
     # height may reference out_w; width re-evaluated after height
     opts = parse_options("w=480:h=out_w/2:input_stereo_format=mono")

@@ -197,7 +197,7 @@ def test_plan_save_load(tmp_path, rng):
         256,
         128,
     )
-    p = tmp_path / "plan.pkl"
+    p = tmp_path / "plan.npz"
     t.save_plan(str(p))
     t2 = Transform360(cfg)
     t2.load_plan(str(p))
@@ -206,6 +206,87 @@ def test_plan_save_load(tmp_path, rng):
     b = t2.transform(y, u, v)
     for x, z in zip(a, b):
         np.testing.assert_array_equal(x, z)
+
+
+def test_plan_save_load_with_blur_and_area(tmp_path, rng):
+    """Round-trip a plan that exercises every serialized substructure:
+    blur bank (multi-band, tiles), supersampling area matrices."""
+    t = open_filter(
+        "cube_edge_length=32:input_stereo_format=mono:"
+        "num_vertical_segments=5:num_horizontal_segments=3:"
+        "width_scale_factor=1.5:height_scale_factor=1.5",
+        256,
+        128,
+    )
+    p = tmp_path / "plan.npz"
+    t.save_plan(str(p))
+    t2 = Transform360(t.config)
+    t2.load_plan(str(p))
+    y, u, v = make_yuv(rng, 128, 256)
+    for x, z in zip(t.transform(y, u, v), t2.transform(y, u, v)):
+        np.testing.assert_array_equal(x, z)
+
+
+def test_plan_file_is_pickle_free_npz(tmp_path):
+    """The plan format must be loadable with allow_pickle=False and carry
+    a version header that rejects unknown versions (no code execution on
+    untrusted files)."""
+    import json
+
+    from transform360_tpu.plan import load_plan
+
+    t = open_filter(
+        "cube_edge_length=32:input_stereo_format=mono:enable_low_pass_filter=0",
+        256,
+        128,
+    )
+    p = tmp_path / "plan.npz"
+    t.save_plan(str(p))
+    with np.load(str(p), allow_pickle=False) as data:  # must not raise
+        header = json.loads(bytes(data["header"]).decode("utf-8"))
+    assert header["format"] == "transform360_tpu-plan"
+
+    # tamper the version -> rejected
+    header["version"] = 999
+    arrays = dict(np.load(str(p), allow_pickle=False))
+    arrays["header"] = np.frombuffer(
+        json.dumps(header).encode("utf-8"), dtype=np.uint8
+    )
+    bad = tmp_path / "bad.npz"
+    with open(bad, "wb") as f:
+        np.savez(f, **arrays)
+    with pytest.raises(ValueError, match="version"):
+        load_plan(str(bad))
+
+    # a random npz is rejected too
+    junk = tmp_path / "junk.npz"
+    np.savez(str(junk), a=np.zeros(3))
+    with pytest.raises(ValueError, match="not a transform360_tpu plan"):
+        load_plan(str(junk))
+
+
+def test_traced_fallback_matches_const_path(rng, monkeypatch):
+    """With MAX_CONST_BYTES forced to 0 the XLA path must route through
+    remap_traced (staged spec arrays) and produce identical output."""
+    from transform360_tpu import sampling
+    from transform360_tpu.pipeline import clear_executor_cache
+
+    cfg = TransformConfig(
+        interpolation_alg=Interpolation.CUBIC, enable_low_pass_filter=0, **MONO
+    )
+    y, u, v = make_yuv(rng, 128, 256)
+    plan = device_put_plan(build_plan(cfg, 256, 128, 96, 64))
+
+    clear_executor_cache()
+    ref = [np.asarray(p) for p in transform_batch(plan, y, u, v)]
+
+    monkeypatch.setattr(sampling, "MAX_CONST_BYTES", 0)
+    clear_executor_cache()
+    got = [np.asarray(p) for p in transform_batch(plan, y, u, v)]
+    clear_executor_cache()
+
+    for g, r in zip(got, ref):
+        np.testing.assert_array_equal(g, r)
 
 
 def test_plane_level_api(rng):

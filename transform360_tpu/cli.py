@@ -15,13 +15,13 @@ Use ffmpeg (or any decoder) to produce/consume the raw stream:
 from __future__ import annotations
 
 import argparse
-import json
 import sys
 import time
 
 import numpy as np
 
 from .api import open_filter
+from .utils.profiling import StageStats
 from .utils.yuv import read_yuv420_frames, write_yuv420_frames
 
 
@@ -69,23 +69,22 @@ def main(argv=None) -> int:
     if args.load_plan:
         t.load_plan(args.load_plan)
 
-    n = 0
+    stats = StageStats(stream=sys.stdout)
     t0 = time.perf_counter()
 
     def frames_out():
-        nonlocal n
         batch_y, batch_u, batch_v = [], [], []
 
         def flush():
-            nonlocal n
             if not batch_y:
                 return
+            tb = time.perf_counter()
             oy, ou, ov = t.transform(
                 np.stack(batch_y), np.stack(batch_u), np.stack(batch_v)
             )
+            stats.record(oy.shape[0], time.perf_counter() - tb)
             for k in range(oy.shape[0]):
                 yield oy[k], ou[k], ov[k]
-            n += oy.shape[0]
             batch_y.clear()
             batch_u.clear()
             batch_v.clear()
@@ -106,19 +105,16 @@ def main(argv=None) -> int:
 
     out_w, out_h = t.output_dims()
     if args.stats:
-        print(
-            json.dumps(
-                {
-                    "frames": n,
-                    "in_size": f"{in_w}x{in_h}",
-                    "out_size": f"{out_w}x{out_h}",
-                    "seconds": round(dt, 3),
-                    "fps": round(n / dt, 2) if dt > 0 else None,
-                }
-            )
+        stats.emit(
+            in_size=f"{in_w}x{in_h}",
+            out_size=f"{out_w}x{out_h}",
+            wall_seconds=round(dt, 3),
         )
     else:
-        print(f"{n} frames {in_w}x{in_h} -> {out_w}x{out_h} in {dt:.2f}s", file=sys.stderr)
+        print(
+            f"{stats.frames} frames {in_w}x{in_h} -> {out_w}x{out_h} in {dt:.2f}s",
+            file=sys.stderr,
+        )
     return 0
 
 

@@ -397,6 +397,11 @@ def negotiate_output_geometry(
             out_w, out_h = cube_edge * 3, cube_edge * 2
         elif cfg.output_layout == Layout.CUBEMAP_23_OFFCENTER:
             out_w, out_h = cube_edge * 2, cube_edge * 3
+        else:
+            # vf_transform360.c:216-224: cube_edge_length set with a
+            # non-cubemap layout leaves outlink dims at the ffmpeg default
+            # (the input size) and never evaluates the w/h expressions.
+            out_w, out_h = in_w, in_h
     if out_w is None:
         w_expr = opts.w_expr
         h_expr = opts.h_expr

@@ -577,8 +577,8 @@ static std::vector<Segment> filteringConfig(const Ctx& c, int inW, int inH,
 }
 
 // Separable conv on one segment rect with replicate borders (the
-// sepFilter2D-per-segment equivalent, float accumulate, round-half-even
-// saturate like OpenCV's filter engine).
+// sepFilter2D-per-segment equivalent, float accumulate, half-up
+// saturating round — the convention shared with the JAX pipeline).
 static void filterSegment(const uint8_t* src, int stride, uint8_t* dst,
                           int dstride, int left, int top, int width,
                           int height, const std::vector<float>& kx,
@@ -609,7 +609,9 @@ static void filterSegment(const uint8_t* src, int stride, uint8_t* dst,
         int ii = std::min(std::max(i + u, 0), height - 1);
         acc += ky[u + ry] * tmp[(size_t)ii * width + j];
       }
-      double r = std::nearbyint(acc);
+      // half-up like the JAX pipeline's _round_u8 (one uint8 rounding
+      // convention across backends)
+      double r = std::floor(acc + 0.5);
       drow[j] = (uint8_t)std::min(255.0, std::max(0.0, r));
     }
   }
@@ -840,7 +842,10 @@ static bool generateMap(Engine* e, int inW, int inH, int outW, int outH,
         p.baseY[q] = (int32_t)std::nearbyint(my);
         p.fracX[q] = p.fracY[q] = 0;
       } else {
-        long sx = std::lround(mx * 32.0), sy = std::lround(my * 32.0);
+        // half-to-even like cvRound/np.rint so the 1/32 quantization
+        // matches the Python plan and the OpenCV oracle bit-for-bit
+        long sx = (long)std::nearbyint(mx * 32.0);
+        long sy = (long)std::nearbyint(my * 32.0);
         p.baseX[q] = (int32_t)((sx >> 5) + p.firstTap);
         p.baseY[q] = (int32_t)((sy >> 5) + p.firstTap);
         p.fracX[q] = (sx & 31) / 32.0f;

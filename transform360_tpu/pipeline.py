@@ -42,7 +42,13 @@ from .ops.remap_lane import build_lane_remap, remap_lane, remap_lane_hwb
 from .ops.remap_pallas import remap_pallas
 from .ops.staging import stage_program, staged
 from .plan import PlanePlan, TransformPlan
-from .sampling import apply_area_resize, remap_const
+from . import sampling
+from .sampling import (
+    apply_area_resize,
+    const_budget_bytes,
+    remap_const,
+    remap_traced,
+)
 
 # Batch size at or above which the lane-batched kernel (batch in vector
 # lanes, ~16x the window-gather kernel's per-frame rate at batch 128) is
@@ -127,9 +133,23 @@ def _plane_program(pp: PlanePlan, use_pallas: bool, interpret: bool = False):
             if use_pallas:
                 out = remap_pallas(pp.pallas, x, interpret=interpret)
             else:
-                scaled = remap_const(
-                    spec, x.reshape(x.shape[0], -1), float(pp.fill)
-                )
+                flat = x.reshape(x.shape[0], -1)
+                if const_budget_bytes(spec) > sampling.MAX_CONST_BYTES:
+                    # Oversized tap tables (e.g. lanczos4 at 4K) would bloat
+                    # the HLO as literals; stage the spec arrays as runtime
+                    # args and resolve taps in-graph instead.
+                    scaled = remap_traced(
+                        spec,
+                        flat,
+                        staged(spec.base_y),
+                        staged(spec.base_x),
+                        staged(spec.frac_y),
+                        staged(spec.frac_x),
+                        None if spec.valid is None else staged(spec.valid),
+                        float(pp.fill),
+                    )
+                else:
+                    scaled = remap_const(spec, flat, float(pp.fill))
                 out = _round_u8(scaled).reshape(-1, pp.scaled_h, pp.scaled_w)
         if pp.area_row is not None:
             out = _round_u8(

@@ -19,9 +19,7 @@ executable serves any number of frames for a given plan shape.
 from __future__ import annotations
 
 import dataclasses
-import io
 import json
-import pickle
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -142,19 +140,175 @@ def clear_plan_cache() -> None:
 
 
 # ---------------------------------------------------------------------------
-# Serialization (checkpoint/resume analog)
+# Serialization (checkpoint/resume analog): versioned .npz — numpy arrays
+# plus a JSON header.  No pickle anywhere, so untrusted plan files cannot
+# execute code on load; unknown versions are rejected.
 # ---------------------------------------------------------------------------
+
+PLAN_FORMAT = "transform360_tpu-plan"
+PLAN_FORMAT_VERSION = 1
+
+_ENUM_FIELDS = {
+    "input_layout": Layout,
+    "output_layout": Layout,
+    "input_stereo_format": StereoFormat,
+    "output_stereo_format": StereoFormat,
+    "interpolation_alg": Interpolation,
+}
+
+
+def _plane_arrays(prefix: str, pp: PlanePlan) -> Dict[str, np.ndarray]:
+    arrs = {
+        f"{prefix}.base_y": pp.spec.base_y,
+        f"{prefix}.base_x": pp.spec.base_x,
+        f"{prefix}.frac_y": pp.spec.frac_y,
+        f"{prefix}.frac_x": pp.spec.frac_x,
+    }
+    if pp.spec.valid is not None:
+        arrs[f"{prefix}.valid"] = pp.spec.valid
+    if pp.blur is not None:
+        for k, band in enumerate(pp.blur.bands):
+            arrs[f"{prefix}.band{k}.kx"] = band.kx
+            arrs[f"{prefix}.band{k}.ky"] = band.ky
+    if pp.area_row is not None:
+        arrs[f"{prefix}.area_row"] = pp.area_row
+        arrs[f"{prefix}.area_col"] = pp.area_col
+    return arrs
+
+
+def _plane_meta(pp: PlanePlan) -> dict:
+    meta = {
+        "key": pp.key,
+        "in_w": pp.in_w,
+        "in_h": pp.in_h,
+        "out_w": pp.out_w,
+        "out_h": pp.out_h,
+        "scaled_w": pp.scaled_w,
+        "scaled_h": pp.scaled_h,
+        "fill": pp.fill,
+        "wrap": pp.spec.wrap,
+        "interp": int(pp.spec.interp),
+        "blur": None,
+    }
+    if pp.blur is not None:
+        meta["blur"] = {
+            "eye_w": pp.blur.eye_w,
+            "eye_h": pp.blur.eye_h,
+            "n_tiles": pp.blur.n_tiles,
+            "tile_w": pp.blur.tile_w,
+            "stereo": int(pp.blur.stereo),
+            "bands": [
+                {"top": b.top, "height": b.height} for b in pp.blur.bands
+            ],
+        }
+    return meta
+
+
+def _plane_from_npz(prefix: str, meta: dict, data) -> PlanePlan:
+    from .ops.remap_pallas import build_pallas_remap
+
+    spec = SampleSpec(
+        base_y=data[f"{prefix}.base_y"],
+        base_x=data[f"{prefix}.base_x"],
+        frac_y=data[f"{prefix}.frac_y"],
+        frac_x=data[f"{prefix}.frac_x"],
+        valid=data[f"{prefix}.valid"] if f"{prefix}.valid" in data else None,
+        in_w=meta["in_w"],
+        in_h=meta["in_h"],
+        interp=Interpolation(meta["interp"]),
+        wrap=meta["wrap"],
+    )
+    blur = None
+    if meta["blur"] is not None:
+        bm = meta["blur"]
+        blur = BlurPlan(
+            bands=tuple(
+                BandSpec(
+                    top=b["top"],
+                    height=b["height"],
+                    kx=data[f"{prefix}.band{k}.kx"],
+                    ky=data[f"{prefix}.band{k}.ky"],
+                )
+                for k, b in enumerate(bm["bands"])
+            ),
+            eye_w=bm["eye_w"],
+            eye_h=bm["eye_h"],
+            n_tiles=bm["n_tiles"],
+            tile_w=bm["tile_w"],
+            stereo=StereoFormat(bm["stereo"]),
+        )
+    has_area = f"{prefix}.area_row" in data
+    return PlanePlan(
+        key=meta["key"],
+        spec=spec,
+        pallas=build_pallas_remap(spec, float(meta["fill"])),
+        blur=blur,
+        in_w=meta["in_w"],
+        in_h=meta["in_h"],
+        out_w=meta["out_w"],
+        out_h=meta["out_h"],
+        scaled_w=meta["scaled_w"],
+        scaled_h=meta["scaled_h"],
+        fill=meta["fill"],
+        area_row=data[f"{prefix}.area_row"] if has_area else None,
+        area_col=data[f"{prefix}.area_col"] if has_area else None,
+    )
 
 
 def save_plan(plan: TransformPlan, path: str) -> None:
-    """Serialize a plan to disk so restarts skip map generation."""
+    """Serialize a plan to a versioned .npz so restarts skip map generation."""
+    header = {
+        "format": PLAN_FORMAT,
+        "version": PLAN_FORMAT_VERSION,
+        "cfg": {
+            k: (int(v) if isinstance(v, (Layout, StereoFormat, Interpolation)) else v)
+            for k, v in dataclasses.asdict(plan.cfg).items()
+        },
+        "in_w": plan.in_w,
+        "in_h": plan.in_h,
+        "out_w": plan.out_w,
+        "out_h": plan.out_h,
+        "luma": _plane_meta(plan.luma),
+        "chroma": _plane_meta(plan.chroma),
+    }
+    arrays = {
+        "header": np.frombuffer(
+            json.dumps(header).encode("utf-8"), dtype=np.uint8
+        ),
+        **_plane_arrays("luma", plan.luma),
+        **_plane_arrays("chroma", plan.chroma),
+    }
     with open(path, "wb") as f:
-        pickle.dump(plan, f)
+        np.savez(f, **arrays)
 
 
 def load_plan(path: str) -> TransformPlan:
-    with open(path, "rb") as f:
-        plan = pickle.load(f)
-    if not isinstance(plan, TransformPlan):
-        raise ValueError(f"{path} does not contain a TransformPlan")
-    return plan
+    """Load a plan saved by :func:`save_plan`; rejects unknown versions.
+
+    Derived per-backend artifacts (the Pallas kernel plan) are rebuilt from
+    the loaded spec — only plan-time *data* lives in the file."""
+    with np.load(path, allow_pickle=False) as data:
+        try:
+            header = json.loads(bytes(data["header"]).decode("utf-8"))
+        except KeyError:
+            raise ValueError(f"{path} is not a transform360_tpu plan file")
+        if header.get("format") != PLAN_FORMAT:
+            raise ValueError(f"{path} is not a transform360_tpu plan file")
+        if header.get("version") != PLAN_FORMAT_VERSION:
+            raise ValueError(
+                f"unsupported plan version {header.get('version')!r} "
+                f"(supported: {PLAN_FORMAT_VERSION})"
+            )
+        cfg_d = dict(header["cfg"])
+        for k, enum_t in _ENUM_FIELDS.items():
+            cfg_d[k] = enum_t(cfg_d[k])
+        cfg = TransformConfig(**cfg_d)
+        return TransformPlan(
+            cfg=cfg,
+            in_w=header["in_w"],
+            in_h=header["in_h"],
+            out_w=header["out_w"],
+            out_h=header["out_h"],
+            luma=_plane_from_npz("luma", header["luma"], data),
+            chroma=_plane_from_npz("chroma", header["chroma"], data),
+        )

@@ -35,32 +35,36 @@ def time_jitted(
     n_short: int = 2,
     n_long: int = 18,
     repeats: int = 3,
+    consts: tuple = (),
 ) -> float:
-    """Steady-state seconds per invocation of ``fn(x)`` (single array arg).
+    """Steady-state seconds per invocation of ``fn(x, *consts)``.
 
     Builds two jitted chains of different lengths where each step consumes
     the previous output (device-serialized, dedup-proof), and divides the
     wall-clock difference — immune to dispatch overhead and result caching.
+
+    ``consts`` (e.g. staged plan arrays) are passed as jit arguments so
+    they are never embedded in the chained program's HLO.
     """
 
     def make(n):
         @jax.jit
-        def chain(a):
+        def chain(a, c):
             for _ in range(n):
-                o = fn(a)
+                o = fn(a, *c)
                 a = a + o.reshape(-1)[0].astype(a.dtype)
             return a
 
         return chain
 
     cs, cl = make(n_short), make(n_long)
-    jax.block_until_ready(cs(x))
-    jax.block_until_ready(cl(x))
+    jax.block_until_ready(cs(x, consts))
+    jax.block_until_ready(cl(x, consts))
 
     def run(c, k):
         xi = x + x.dtype.type(k)
         t0 = time.perf_counter()
-        jax.block_until_ready(c(xi))
+        jax.block_until_ready(c(xi, consts))
         return time.perf_counter() - t0
 
     ts = min(run(cs, k) for k in range(1, repeats + 1))
