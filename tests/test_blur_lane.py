@@ -1,5 +1,5 @@
 """Lane-batched prefilter kernel: interpret-mode validation vs the XLA
-blur path (same taps, same per-band replicate borders)."""
+blur path (same taps, same non-isolated cross-seam border semantics)."""
 
 import numpy as np
 
@@ -17,14 +17,10 @@ MONO = dict(
 )
 
 
-def test_blur_lane_matches_xla(rng):
-    cfg = TransformConfig(interpolation_alg=Interpolation.CUBIC, **MONO)
-    plan = build_plan(cfg, 256, 80, 96, 64)
-    bp = plan.luma.blur
-    assert bp is not None
-    bl = build_blur_lane(bp, 80, 256)
+def _check_vs_xla(rng, bp, h, w, max_wrong_frac=0.005):
+    bl = build_blur_lane(bp, h, w)
     assert bl is not None, "expected lane blur coverage for this config"
-    x = rng.integers(0, 256, (80, 256, 128), dtype=np.uint8)
+    x = rng.integers(0, 256, (h, w, 128), dtype=np.uint8)
     got = np.asarray(blur_lane(bl, jnp.asarray(x), interpret=True))
     want = _round_u8(
         apply_blur(bp, jnp.transpose(jnp.asarray(x), (2, 0, 1)).astype(jnp.float32))
@@ -32,17 +28,85 @@ def test_blur_lane_matches_xla(rng):
     want = np.asarray(jnp.transpose(want, (1, 2, 0)))
     diff = np.abs(got.astype(int) - want.astype(int))
     assert diff.max() <= 1, f"max diff {diff.max()}"
-    assert (diff > 0).mean() < 0.005
+    assert (diff > 0).mean() < max_wrong_frac
 
 
-def test_blur_lane_scope_gates():
+def test_blur_lane_matches_xla(rng):
+    cfg = TransformConfig(interpolation_alg=Interpolation.CUBIC, **MONO)
+    plan = build_plan(cfg, 256, 80, 96, 64)
+    assert plan.luma.blur is not None
+    _check_vs_xla(rng, plan.luma.blur, 80, 256)
+
+
+def test_blur_lane_multi_hseg(rng):
+    """Multiple horizontal segments with uniform taps (no off-center
+    adjustment) are in scope after the round-2 rewrite."""
     cfg = TransformConfig(
         interpolation_alg=Interpolation.CUBIC,
         num_horizontal_segments=3,
         **MONO,
     )
     plan = build_plan(cfg, 256, 80, 96, 64)
-    # multiple horizontal segments -> out of lane-blur scope
+    _check_vs_xla(rng, plan.luma.blur, 80, 256)
+
+
+def test_blur_lane_unaligned_bands(rng):
+    """Band heights not a multiple of 8 (odd segment rasters) use masked
+    row writes."""
+    cfg = TransformConfig(
+        interpolation_alg=Interpolation.CUBIC,
+        num_vertical_segments=7,
+        **MONO,
+    )
+    plan = build_plan(cfg, 256, 80, 96, 64)
+    assert any(b.height % 8 for b in plan.luma.blur.bands)
+    _check_vs_xla(rng, plan.luma.blur, 80, 256)
+
+
+def test_blur_lane_adaptive_many_segments(rng):
+    """BASELINE config 3 shape (scaled down): 9x5 segment raster."""
+    cfg = TransformConfig(
+        interpolation_alg=Interpolation.LINEAR,
+        num_vertical_segments=9,
+        num_horizontal_segments=5,
+        adjust_kernel=1,
+        **MONO,
+    )
+    plan = build_plan(cfg, 512, 80, 48, 32)
+    _check_vs_xla(rng, plan.luma.blur, 80, 512)
+
+
+def test_blur_lane_stereo_tb(rng):
+    cfg = TransformConfig(
+        input_stereo_format=StereoFormat.TB,
+        output_stereo_format=StereoFormat.TB,
+        interpolation_alg=Interpolation.CUBIC,
+    )
+    plan = build_plan(cfg, 256, 160, 96, 128)
+    _check_vs_xla(rng, plan.luma.blur, 160, 256)
+
+
+def test_blur_lane_stereo_lr(rng):
+    cfg = TransformConfig(
+        input_stereo_format=StereoFormat.LR,
+        output_stereo_format=StereoFormat.LR,
+        interpolation_alg=Interpolation.CUBIC,
+    )
+    plan = build_plan(cfg, 512, 80, 192, 64)
+    _check_vs_xla(rng, plan.luma.blur, 80, 512)
+
+
+def test_blur_lane_scope_gates():
+    """Per-column tap variation (off-center + adjust_kernel + several
+    horizontal segments) stays on the XLA path."""
+    cfg = TransformConfig(
+        interpolation_alg=Interpolation.CUBIC,
+        num_horizontal_segments=3,
+        fixed_cube_offcenter_z=0.5,
+        adjust_kernel=1,
+        **MONO,
+    )
+    plan = build_plan(cfg, 256, 80, 96, 64)
     assert build_blur_lane(plan.luma.blur, 80, 256) is None
 
 

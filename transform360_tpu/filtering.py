@@ -8,14 +8,16 @@ each segment filtered by ``cv::sepFilter2D`` on its own ``std::thread``
 
 Here the *plan* math (σ schedule, segment raster, kernel bank) is transcribed
 into host-side numpy (:func:`build_blur_plan`), and *execution* is a jitted
-JAX function (:func:`apply_blur`): per latitude band, tiles are batched into
-a ``[tiles, rows, tile_w, batch]`` tensor, edge-replicated within each
-segment (the reference's per-segment BORDER_REPLICATE, preserved
-bit-for-bit in structure), and the two 1-D convolutions run as unrolled
-weighted shifts on the VPU with per-tile tap vectors.  Kernels of different
-lengths within a band are zero-padded to the band maximum — exact, since
-taps are normalized before padding.  The pthread fan-out disappears: frames
-are batched on the trailing (lane) axis instead.
+JAX function (:func:`apply_blur`): per latitude band, the two 1-D
+convolutions run as unrolled weighted shifts on the VPU with per-output-
+column tap vectors (tile t's taps for tile t's columns).  Border taps read
+*real neighbor pixels* across band/tile/eye seams, replicating only at true
+plane edges — matching ``cv::sepFilter2D`` on a non-isolated ROI, which is
+what the reference calls (``VideoFrameTransform.cpp:189-197``; OpenCV
+reads the parent image beyond the ROI unless BORDER_ISOLATED is set).
+Kernels of different lengths within a band are zero-padded to the band
+maximum — exact, since taps are normalized before padding.  The pthread
+fan-out disappears: frames are batched on the leading axis instead.
 """
 
 from __future__ import annotations
@@ -29,6 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .config import Layout, StereoFormat, TransformConfig
+from .ops.staging import staged
 
 _EPS = 1e-9
 _K_FOV = 0.5333 * math.pi  # VideoFrameTransform.cpp:35
@@ -127,12 +130,19 @@ def compute_sigma_y(
 
 @dataclasses.dataclass(frozen=True)
 class BandSpec:
-    """One latitude band of the prefilter raster (plan-time, static)."""
+    """One latitude band of the prefilter raster (plan-time, static).
+
+    ``kx``/``ky`` hold the per-tile taps; ``kx_col``/``ky_col`` are the
+    same taps expanded to one vector per output column (tile t's taps for
+    the columns of tile t) — the form the shift-and-multiply executor
+    consumes."""
 
     top: int
     height: int
     kx: np.ndarray  # [n_tiles, Lx] zero-padded per-tile x taps
     ky: np.ndarray  # [n_tiles, Ly] zero-padded per-tile y taps
+    kx_col: np.ndarray  # [Lx, eye_w] per-column x taps
+    ky_col: np.ndarray  # [Ly, eye_w] per-column y taps
 
 
 @dataclasses.dataclass(frozen=True)
@@ -160,6 +170,13 @@ def _pad_center(kernels: List[np.ndarray]) -> np.ndarray:
         off = (max_len - k.shape[0]) // 2
         out[i, off : off + k.shape[0]] = k
     return out
+
+
+def _expand_cols(per_tile: np.ndarray, tile_w: int, width: int) -> np.ndarray:
+    """Per-output-column tap vectors [L, width] from per-tile taps
+    [n_tiles, L]: column c gets tile ``c // tile_w``'s taps."""
+    cols = np.repeat(per_tile, tile_w, axis=0)[:width]
+    return np.ascontiguousarray(cols.T)
 
 
 def _band_kernels(
@@ -218,8 +235,14 @@ def _band_kernels(
         else:
             kxs.append(kernel_x)
             kys.append(kernel_y)
+    kx_p, ky_p = _pad_center(kxs), _pad_center(kys)
     return BandSpec(
-        top=top, height=bottom - top + 1, kx=_pad_center(kxs), ky=_pad_center(kys)
+        top=top,
+        height=bottom - top + 1,
+        kx=kx_p,
+        ky=ky_p,
+        kx_col=_expand_cols(kx_p, tile_w, in_w),
+        ky_col=_expand_cols(ky_p, tile_w, in_w),
     )
 
 
@@ -311,72 +334,91 @@ def build_blur_plan(
 # ---------------------------------------------------------------------------
 
 
-def _conv_axis(x: jnp.ndarray, taps: np.ndarray, axis: int) -> jnp.ndarray:
-    """Separable 1-D conv along ``axis`` of ``x`` [batch, rows, tiles, cols]
-    with per-tile taps [tiles, L] and edge replication — unrolled weighted
-    shifts (VPU), the TPU-native form of per-segment sepFilter2D.
-
-    Tap weights are embedded as literals (taps is plan-time numpy)."""
-    L = taps.shape[1]
-    r = (L - 1) // 2
-    if r == 0:
-        return x * jnp.asarray(taps[:, 0])[None, None, :, None]
-    pad = [(0, 0)] * x.ndim
-    pad[axis] = (r, r)
-    xp = jnp.pad(x, pad, mode="edge")
-    n = x.shape[axis]
-    acc = None
-    for u in range(L):
-        w = jnp.asarray(taps[:, u])[None, None, :, None]
-        sl = [slice(None)] * x.ndim
-        sl[axis] = slice(u, u + n)
-        term = w * xp[tuple(sl)]
-        acc = term if acc is None else acc + term
-    return acc
+def band_radii(band: BandSpec) -> Tuple[int, int]:
+    """(rx, ry) kernel radii of a band's (padded) tap bank."""
+    return (band.kx.shape[1] - 1) // 2, (band.ky.shape[1] - 1) // 2
 
 
-def _blur_eye(plan: BlurPlan, eye: jnp.ndarray) -> jnp.ndarray:
-    """Blur one eye view [B, eye_h, eye_w] (f32); returns same shape."""
-    B, H, W = eye.shape
-    T, Wt = plan.n_tiles, plan.tile_w
-    pad_w = T * Wt - W
+def plan_radii(plan: BlurPlan) -> Tuple[int, int]:
+    """(rx_max, ry_max) over all bands."""
+    rs = [band_radii(b) for b in plan.bands]
+    return max(r[0] for r in rs), max(r[1] for r in rs)
+
+
+def _blur_eye_from(
+    plan: BlurPlan, padded: jnp.ndarray, roff: int, coff: int,
+    rx_max: int, ry_max: int,
+) -> jnp.ndarray:
+    """Blur one eye view, reading from the edge-padded FULL plane.
+
+    ``padded`` is the full source plane padded by (ry_max, rx_max) with
+    edge replication; the eye occupies rows ``roff:roff+eye_h`` and cols
+    ``coff:coff+eye_w`` of the unpadded plane.  Border taps read real
+    neighbor pixels — across band, tile, and stereo-eye seams — exactly
+    like ``cv::sepFilter2D`` on a non-isolated ROI
+    (VideoFrameTransform.cpp:189-197: BORDER_REPLICATE without
+    BORDER_ISOLATED replicates only at true plane edges).
+    Returns [B, eye_h, eye_w] (f32)."""
+    W = plan.eye_w
     outs = []
     for band in plan.bands:
-        rows = jax.lax.slice_in_dim(eye, band.top, band.top + band.height, axis=1)
-        if pad_w:
-            rows = jnp.pad(rows, ((0, 0), (0, 0), (0, pad_w)), mode="edge")
-        t = rows.reshape(B, band.height, T, Wt)
-        t = _conv_axis(t, band.kx, axis=3)
-        t = _conv_axis(t, band.ky, axis=1)
-        t = t.reshape(B, band.height, T * Wt)
-        outs.append(t[:, :, :W] if pad_w else t)
-    return jnp.concatenate(outs, axis=1)
+        rx, ry = band_radii(band)
+        kx_col = staged(band.kx_col)
+        ky_col = staged(band.ky_col)
+        # rows the vertical pass reads, in padded coordinates
+        r0 = roff + band.top + ry_max - ry
+        rows = jax.lax.slice_in_dim(
+            padded, r0, r0 + band.height + 2 * ry, axis=1
+        )
+        # horizontal pass: unrolled weighted shifts with per-column taps
+        c0 = coff + rx_max - rx
+        acc = None
+        for u in range(2 * rx + 1):
+            seg = jax.lax.slice_in_dim(rows, c0 + u, c0 + u + W, axis=2)
+            term = kx_col[u][None, None, :] * seg
+            acc = term if acc is None else acc + term
+        rowf = acc
+        # vertical pass
+        acc = None
+        for v in range(2 * ry + 1):
+            seg = jax.lax.slice_in_dim(rowf, v, v + band.height, axis=1)
+            term = ky_col[v][None, None, :] * seg
+            acc = term if acc is None else acc + term
+        outs.append(acc)
+    return jnp.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]
 
 
 def apply_blur(plan: Optional[BlurPlan], plane: jnp.ndarray) -> jnp.ndarray:
     """Apply the prefilter to a float32 plane [B, H, W].
 
     Stereo eyes are processed with the shared per-eye plan, mirroring
-    filterPlane's offset application (VideoFrameTransform.cpp:630-691).
+    filterPlane's offset application (VideoFrameTransform.cpp:630-691);
+    reads cross eye boundaries like the reference's non-isolated ROIs.
     """
     if plan is None:
         return plane
     _, H, W = plane.shape
+    rx_max, ry_max = plan_radii(plan)
+    padded = plane
+    if rx_max or ry_max:
+        padded = jnp.pad(
+            plane, ((0, 0), (ry_max, ry_max), (rx_max, rx_max)), mode="edge"
+        )
+
+    def eye(roff, coff):
+        return _blur_eye_from(plan, padded, roff, coff, rx_max, ry_max)
+
     # For odd stereo dims the reference's zero-initialized blurred plane
     # leaves the uncovered final row/column as zeros (filterPlane zeroes the
     # whole destination, VideoFrameTransform.cpp:625); preserved here.
     if plan.stereo == StereoFormat.LR:
         half = plan.eye_w
-        left = _blur_eye(plan, plane[:, :, :half])
-        right = _blur_eye(plan, plane[:, :, half : 2 * half])
         rest = jnp.zeros_like(plane[:, :, 2 * half :])
-        parts = [left, right] + ([rest] if rest.shape[2] else [])
+        parts = [eye(0, 0), eye(0, half)] + ([rest] if rest.shape[2] else [])
         return jnp.concatenate(parts, axis=2)
     if plan.stereo == StereoFormat.TB:
         half = plan.eye_h
-        top = _blur_eye(plan, plane[:, :half])
-        bottom = _blur_eye(plan, plane[:, half : 2 * half])
         rest = jnp.zeros_like(plane[:, 2 * half :])
-        parts = [top, bottom] + ([rest] if rest.shape[1] else [])
+        parts = [eye(0, 0), eye(half, 0)] + ([rest] if rest.shape[1] else [])
         return jnp.concatenate(parts, axis=1)
-    return _blur_eye(plan, plane)
+    return eye(0, 0)

@@ -576,25 +576,32 @@ static std::vector<Segment> filteringConfig(const Ctx& c, int inW, int inH,
   return segs;
 }
 
-// Separable conv on one segment rect with replicate borders (the
-// sepFilter2D-per-segment equivalent, float accumulate, half-up
-// saturating round — the convention shared with the JAX pipeline).
+// Separable conv on one segment rect — the sepFilter2D-on-a-non-isolated-
+// ROI equivalent (VideoFrameTransform.cpp:189-197): border taps read real
+// parent-plane pixels beyond the segment (across band/tile/eye seams),
+// replicating only at true plane edges.  Float accumulate, half-up
+// saturating round (the convention shared with the JAX pipeline).
+// planeW/planeH are the full source plane dims for the global clamp.
 static void filterSegment(const uint8_t* src, int stride, uint8_t* dst,
                           int dstride, int left, int top, int width,
-                          int height, const std::vector<float>& kx,
+                          int height, int planeW, int planeH,
+                          const std::vector<float>& kx,
                           const std::vector<float>& ky,
                           std::vector<float>& tmp) {
   const int rx = ((int)kx.size() - 1) / 2;
   const int ry = ((int)ky.size() - 1) / 2;
-  tmp.resize((size_t)width * height);
-  // horizontal pass
-  for (int i = 0; i < height; ++i) {
-    const uint8_t* row = src + (size_t)(top + i) * stride + left;
-    float* trow = tmp.data() + (size_t)i * width;
+  const int extH = height + 2 * ry;
+  tmp.resize((size_t)width * extH);
+  // horizontal pass over the vertically extended row range; reads clamp
+  // at the full plane, not the segment
+  for (int i2 = 0; i2 < extH; ++i2) {
+    int si = std::min(std::max(top - ry + i2, 0), planeH - 1);
+    const uint8_t* row = src + (size_t)si * stride;
+    float* trow = tmp.data() + (size_t)i2 * width;
     for (int j = 0; j < width; ++j) {
       double acc = 0;
       for (int u = -rx; u <= rx; ++u) {
-        int jj = std::min(std::max(j + u, 0), width - 1);
+        int jj = std::min(std::max(left + j + u, 0), planeW - 1);
         acc += kx[u + rx] * row[jj];
       }
       trow[j] = (float)acc;
@@ -606,11 +613,8 @@ static void filterSegment(const uint8_t* src, int stride, uint8_t* dst,
     for (int j = 0; j < width; ++j) {
       double acc = 0;
       for (int u = -ry; u <= ry; ++u) {
-        int ii = std::min(std::max(i + u, 0), height - 1);
-        acc += ky[u + ry] * tmp[(size_t)ii * width + j];
+        acc += ky[u + ry] * tmp[(size_t)(i + u + ry) * width + j];
       }
-      // half-up like the JAX pipeline's _round_u8 (one uint8 rounding
-      // convention across backends)
       double r = std::floor(acc + 0.5);
       drow[j] = (uint8_t)std::min(255.0, std::max(0.0, r));
     }
@@ -898,7 +902,8 @@ static void runFiltering(const Ctx& c, const PlanePlanN& p, const uint8_t* src,
         while ((k = next.fetch_add(1)) < jobs.size()) {
           const Job& j = jobs[k];
           filterSegment(src, sstride, dst, dstride, j.left, j.top,
-                        j.s->width, j.s->height, j.s->kx, j.s->ky, tmp);
+                        j.s->width, j.s->height, W, H, j.s->kx, j.s->ky,
+                        tmp);
         }
       });
     }
@@ -907,7 +912,7 @@ static void runFiltering(const Ctx& c, const PlanePlanN& p, const uint8_t* src,
     std::vector<float> tmp;
     for (auto& j : jobs)
       filterSegment(src, sstride, dst, dstride, j.left, j.top, j.s->width,
-                    j.s->height, j.s->kx, j.s->ky, tmp);
+                    j.s->height, W, H, j.s->kx, j.s->ky, tmp);
   }
 }
 

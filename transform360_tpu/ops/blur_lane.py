@@ -7,17 +7,23 @@ VMEM, and runs both 1-D convolutions on in-register data, with the frame
 batch in the 128 vector lanes ([H, W, B] layout — the same layout the
 lane remap kernel consumes, so the blurred plane feeds it directly).
 
-Parity: per-band taps and the per-segment BORDER_REPLICATE semantics are
-preserved exactly — y taps clamp to the band's row range (the reference
-filters each latitude band independently, ``VideoFrameTransform.cpp:
-173-204``), x taps replicate at the plane edges (one horizontal segment),
-and the result is rounded half-up to uint8 like ``_round_u8``.  The x
-convolution runs first, matching the XLA path's accumulation order.
+Border semantics match the reference's non-isolated ``cv::sepFilter2D``
+ROIs (``VideoFrameTransform.cpp:189-197``): taps read *real neighbor
+pixels* across band/tile/eye seams and replicate only at true plane edges
+(the wrapper pads the plane in HBM with edge rows/cols).  Results round
+half-up to uint8 like ``pipeline._round_u8``; the x convolution runs
+first, matching the XLA path's accumulation order.
 
-Scope (falls back to the XLA path otherwise): mono, one horizontal
-segment, band boundaries 8-row-aligned, and at most 8 distinct
-(kx, ky) kernel classes.  The 32x15-segment adaptive configs use the
-XLA path; the default 5-band config is covered.
+Coverage (after the round-2 rewrite): mono and TB/LR stereo, any number
+of horizontal segments (as long as each 256-column kernel tile's taps are
+uniform — per-column tap variation only arises with ``adjust_kernel`` +
+off-center/rotation), band boundaries need NOT be 8-row-aligned (partial
+blocks use masked row writes).  Work tiles are grouped into classes by
+bucketed tap lengths; all classes run in ONE ``pallas_call`` whose kernel
+branches on a per-step class id, so multi-band output blocks compose
+correctly.  Falls back to the XLA path (``build_blur_lane`` returns None)
+when H is not a multiple of 8, a tile needs per-column taps, or kernels
+exceed the window budget.
 """
 
 from __future__ import annotations
@@ -38,108 +44,195 @@ from .staging import staged
 TH = 8          # output tile rows
 TW = 256        # output tile cols
 LANES = 128
-MAX_CLASSES = 8
+MAX_CLASSES = 12
+MAX_WINDOW_BYTES = 4 * 1024 * 1024  # double-buffered DMA window budget
 
 
 @dataclasses.dataclass(frozen=True)
-class BlurClass:
-    kx: np.ndarray     # [LX] f32 (embedded as literals)
-    ky: np.ndarray     # [LY] f32
-    rxq: int           # ceil8((LX-1)//2): window x halo
-    win_h: int         # TH + 2*ry
-    n: int
-    meta: np.ndarray   # [6, n] i32: tile_id, y0, x0, r0, top, bot1
+class BlurClassGeom:
+    """One kernel-length class (static loop bounds for a kernel branch)."""
+
+    lx: int  # bucketed x tap count (2*rx+1, rx a multiple of 8)
+    ly: int  # bucketed y tap count
 
 
 @dataclasses.dataclass(frozen=True)
 class BlurLanePlan:
     H: int
     W: int
-    Wt: int            # W rounded up to TW
-    rxq_g: int         # global x pad (max class rxq)
+    Wt: int              # W rounded up to TW
+    rxq_g: int           # global x halo (max class rx; multiple of 8)
+    ry_g: int            # global y halo (max class ry)
     n_ty: int
     n_tx: int
-    n_tiles: int
-    classes: Tuple[BlurClass, ...]
+    n_tiles: int         # output blocks
+    n_work: int          # work tiles (>= n_tiles: partial bands add tiles)
+    classes: Tuple[BlurClassGeom, ...]
+    meta: np.ndarray     # i32 [3, n_work]: out_id, win_row, win_col
+    rowmeta: np.ndarray  # i32 [n_work, 4]: a, b, class_id, 0
+    tapsx: np.ndarray    # f32 [n_work, LXg] centered zero-padded x taps
+    tapsy: np.ndarray    # f32 [n_work, LYg]
+    zero_w_from: int     # zero columns >= this (odd LR dims), or W
 
 
-def build_blur_lane(bp: Optional[BlurPlan], H: int, W: int) -> Optional[BlurLanePlan]:
+def _bucket(n: int, steps: Tuple[int, ...]) -> Optional[int]:
+    for s in steps:
+        if n <= s:
+            return s
+    return None
+
+
+def _center_pad(taps: np.ndarray, length: int) -> np.ndarray:
+    out = np.zeros(length, np.float32)
+    off = (length - taps.shape[0]) // 2
+    out[off : off + taps.shape[0]] = taps
+    return out
+
+
+def build_blur_lane(
+    bp: Optional[BlurPlan], H: int, W: int
+) -> Optional[BlurLanePlan]:
     if bp is None:
-        return None
-    if bp.stereo != StereoFormat.MONO or bp.n_tiles != 1:
         return None
     if H % TH or H < TH or W < TW:
         return None
-    # group bands by identical taps
-    groups = {}
-    for band in bp.bands:
-        if band.top % TH or band.height % TH:
-            return None
-        key = (band.kx.tobytes(), band.ky.tobytes())
-        groups.setdefault(key, (band.kx[0], band.ky[0], []))[2].append(band)
-    if len(groups) > MAX_CLASSES:
-        return None
-    if sum(b.height for b in bp.bands) != H or bp.bands[0].top != 0:
-        return None
+
+    # Global band raster: TB stacks the per-eye bands by rows; LR eyes sit
+    # side by side (columns), sharing the band rows.  Parity with
+    # filtering.apply_blur's eye offsets (filterPlane, :630-691).
+    if bp.stereo == StereoFormat.TB:
+        gbands = [
+            (off + band.top, band.height, band)
+            for off in (0, bp.eye_h)
+            for band in bp.bands
+        ]
+    else:
+        gbands = [(band.top, band.height, band) for band in bp.bands]
+    if sum(h for _, h, _ in gbands) != H:
+        return None  # odd TB leftover row: XLA fallback
+
+    # columns covered by the eyes; the rest (odd LR leftover) stays zero
+    w_cov = 2 * bp.eye_w if bp.stereo == StereoFormat.LR else W
+    w_cov = min(w_cov, W)
+
+    def eye_cols(c0: int, c1: int) -> np.ndarray:
+        idx = np.arange(c0, c1)
+        if bp.stereo == StereoFormat.LR:
+            idx = np.where(idx >= bp.eye_w, idx - bp.eye_w, idx)
+        return np.clip(idx, 0, bp.eye_w - 1)
 
     n_tx = -(-W // TW)
     Wt = n_tx * TW
     n_ty = H // TH
-    rxq_g = 0
-    parsed = []
-    for kx, ky, bands in groups.values():
-        LX, LY = len(kx), len(ky)
-        rx, ry = (LX - 1) // 2, (LY - 1) // 2
-        rxq = -(-rx // 8) * 8
-        win_h = TH + 2 * ry
-        if any(b.height < win_h for b in bands):
-            return None
-        if rxq > 120:
-            return None
-        rxq_g = max(rxq_g, rxq)
-        parsed.append((kx, ky, rx, ry, rxq, win_h, bands))
 
-    classes = []
-    for kx, ky, rx, ry, rxq, win_h, bands in parsed:
-        metas = []
-        for band in bands:
-            top, bot = band.top, band.top + band.height
-            for ti in range(top // TH, bot // TH):
-                r0 = ti * TH
-                y0 = min(max(r0 - ry, top), bot - win_h)
-                for tj in range(n_tx):
-                    x0 = rxq_g + tj * TW - rxq
-                    metas.append(
-                        (ti * n_tx + tj, y0, x0, r0, top, bot - 1)
+    # tap-length buckets (in-kernel offsets are static, so no alignment
+    # constraint — buckets only trade class count against zero-tap MACs)
+    x_buckets = tuple(
+        2 * r + 1 for r in (1, 2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64, 96, 120)
+    )
+    y_buckets = tuple(2 * r + 1 for r in (1, 2, 3, 4, 6, 8, 16))
+
+    # enumerate work tiles: (global band, 8-row block, x tile)
+    work = []  # (out_id, a, b, class_id, kx_pad, ky_pad)
+    class_keys = {}
+    for gt, height, band in gbands:
+        gb = gt + height
+        if gb > H:
+            return None
+        lxb = _bucket(band.kx.shape[1], x_buckets)
+        lyb = _bucket(band.ky.shape[1], y_buckets)
+        if lxb is None or lyb is None:
+            return None
+        for tb in range(gt // TH, -(-gb // TH)):
+            b0 = tb * TH
+            a = max(gt, b0) - b0
+            b = min(gb, b0 + TH) - b0
+            for tj in range(n_tx):
+                # taps for this tile's covered columns; require uniformity
+                c0, c1 = tj * TW, min(tj * TW + TW, w_cov)
+                cols = eye_cols(c0, c1) if c1 > c0 else eye_cols(w_cov - 1, w_cov)
+                kxs = band.kx_col[:, cols]
+                kys = band.ky_col[:, cols]
+                if (kxs != kxs[:, :1]).any() or (kys != kys[:, :1]).any():
+                    return None  # per-column taps: XLA fallback
+                key = (lxb, lyb)
+                class_keys.setdefault(key, len(class_keys))
+                work.append(
+                    (
+                        tb * n_tx + tj,
+                        a,
+                        b,
+                        class_keys[key],
+                        _center_pad(kxs[:, 0], lxb),
+                        _center_pad(kys[:, 0], lyb),
                     )
-        meta = np.array(metas, np.int32).T.copy()
-        classes.append(
-            BlurClass(
-                kx=kx.astype(np.float32),
-                ky=ky.astype(np.float32),
-                rxq=rxq,
-                win_h=win_h,
-                n=meta.shape[1],
-                meta=meta,
-            )
-        )
+                )
+    if len(class_keys) > MAX_CLASSES:
+        return None
+
+    classes = [None] * len(class_keys)
+    for (lxb, lyb), cid in class_keys.items():
+        classes[cid] = BlurClassGeom(lx=lxb, ly=lyb)
+
+    # global x halo rounded to 8 so DMA column offsets (tj*TW) and the
+    # padded plane's sublane extents stay tile-friendly
+    rxq_g = -(-max((c.lx - 1) // 2 for c in classes) // 8) * 8
+    ry_g = max((c.ly - 1) // 2 for c in classes)
+    win_bytes = 2 * (TH + 2 * ry_g) * (TW + 2 * rxq_g) * LANES
+    if win_bytes > MAX_WINDOW_BYTES:
+        return None
+    zero_w_from = w_cov
+
+    # sort so tiles sharing an output block are consecutive (the block
+    # stays resident in VMEM between steps; masked row writes compose)
+    work.sort(key=lambda t: t[0])
+    lxg = max(c.lx for c in classes)
+    lyg = max(c.ly for c in classes)
+    n_work = len(work)
+    meta = np.zeros((3, n_work), np.int32)
+    rowmeta = np.zeros((n_work, 4), np.int32)
+    tapsx = np.zeros((n_work, lxg), np.float32)
+    tapsy = np.zeros((n_work, lyg), np.float32)
+    for i, (oid, a, b, cid, kx, ky) in enumerate(work):
+        tb, tj = divmod(oid, n_tx)
+        meta[:, i] = (oid, tb * TH, tj * TW)
+        rowmeta[i] = (a, b, cid, 0)
+        tapsx[i, (lxg - len(kx)) // 2 : (lxg - len(kx)) // 2 + len(kx)] = kx
+        tapsy[i, (lyg - len(ky)) // 2 : (lyg - len(ky)) // 2 + len(ky)] = ky
+
+    # a block's rows must be fully covered by its tiles' [a, b) ranges
+    cover = {}
+    for oid, a, b, *_ in work:
+        cover[oid] = cover.get(oid, 0) + (b - a)
+    assert all(v == TH for v in cover.values()), "row coverage gap"
+
     return BlurLanePlan(
-        H=H, W=W, Wt=Wt, rxq_g=rxq_g,
-        n_ty=n_ty, n_tx=n_tx, n_tiles=n_ty * n_tx,
+        H=H,
+        W=W,
+        Wt=Wt,
+        rxq_g=rxq_g,
+        ry_g=ry_g,
+        n_ty=n_ty,
+        n_tx=n_tx,
+        n_tiles=n_ty * n_tx,
+        n_work=n_work,
         classes=tuple(classes),
+        meta=meta,
+        rowmeta=rowmeta,
+        tapsx=tapsx,
+        tapsy=tapsy,
+        zero_w_from=zero_w_from,
     )
 
 
-def _make_blur_kernel(cls: BlurClass):
-    kx = [float(v) for v in cls.kx]
-    ky = [float(v) for v in cls.ky]
-    LX, LY = len(kx), len(ky)
-    rx, ry = (LX - 1) // 2, (LY - 1) // 2
-    ww = TW + 2 * cls.rxq
-    wh = cls.win_h
-    n = cls.n
+def _make_kernel(plan: BlurLanePlan):
+    wh = TH + 2 * plan.ry_g
+    ww = TW + 2 * plan.rxq_g
+    n = plan.n_work
+    lxg = plan.tapsx.shape[1]
+    lyg = plan.tapsy.shape[1]
 
-    def kernel(meta_ref, src_ref, out_ref, win, sems):
+    def kernel(meta_ref, tx_ref, ty_ref, rm_ref, src_ref, out_ref, win, sems):
         i = pl.program_id(0)
 
         def dma(slot, t):
@@ -164,78 +257,47 @@ def _make_blur_kernel(cls: BlurClass):
         slot = i % 2
         dma(slot, i).wait()
 
-        y0 = meta_ref[1, i]
-        r0 = meta_ref[3, i]
-        top = meta_ref[4, i]
-        bot1 = meta_ref[5, i]
+        a = rm_ref[0, 0]
+        b = rm_ref[0, 1]
+        cid = rm_ref[0, 2]
 
-        # x-convolve each needed row once (rows are shared across the
-        # y-taps of adjacent output rows), then y-convolve the results.
-        xrows = []
-        for j in range(TH + LY - 1):
-            idx = jnp.clip(r0 + j - ry, top, bot1) - y0
-            v = win[slot, pl.ds(idx, 1), :, :]           # (1, ww, B) u8
-            vf = v.astype(jnp.int32).astype(jnp.float32)
-            acc = None
-            off0 = cls.rxq - rx
-            for u in range(LX):
-                term = kx[u] * vf[:, off0 + u : off0 + u + TW, :]
-                acc = term if acc is None else acc + term
-            xrows.append(acc)                             # (1, TW, B)
-        rows = []
-        for r in range(TH):
-            acc = None
-            for dy in range(LY):
-                term = ky[dy] * xrows[r + dy]
-                acc = term if acc is None else acc + term
-            rows.append(acc)
-        blk = jnp.concatenate(rows, axis=0)               # (TH, TW, B)
-        blk = jnp.clip(jnp.floor(blk + 0.5), 0.0, 255.0)
-        out_ref[0] = blk.astype(jnp.int32).astype(jnp.uint8)
+        rows_idx = jax.lax.broadcasted_iota(jnp.int32, (TH, TW, LANES), 0)
+        mask = (rows_idx >= a) & (rows_idx < b)
+
+        for k, cls in enumerate(plan.classes):
+            rx = (cls.lx - 1) // 2
+            ry = (cls.ly - 1) // 2
+            off0 = plan.rxq_g - rx  # static, window col of first tap
+            row0 = plan.ry_g - ry   # static, window row offset
+
+            @pl.when(cid == k)
+            def _(cls=cls, rx=rx, ry=ry, off0=off0, row0=row0):
+                kxs = [tx_ref[0, (lxg - cls.lx) // 2 + u] for u in range(cls.lx)]
+                kys = [ty_ref[0, (lyg - cls.ly) // 2 + v] for v in range(cls.ly)]
+                # x-convolve each needed row once (rows are shared across
+                # the y-taps of adjacent output rows), then y-convolve.
+                xrows = []
+                for j in range(TH + cls.ly - 1):
+                    v = win[slot, pl.ds(row0 + j, 1), :, :]  # (1, ww, B) u8
+                    vf = v.astype(jnp.int32).astype(jnp.float32)
+                    acc = None
+                    for u in range(cls.lx):
+                        term = kxs[u] * vf[:, off0 + u : off0 + u + TW, :]
+                        acc = term if acc is None else acc + term
+                    xrows.append(acc)  # (1, TW, B) f32
+                rows = []
+                for r in range(TH):
+                    acc = None
+                    for dy in range(cls.ly):
+                        term = kys[dy] * xrows[r + dy]
+                        acc = term if acc is None else acc + term
+                    rows.append(acc)
+                blk = jnp.concatenate(rows, axis=0)  # (TH, TW, B)
+                blk = jnp.clip(jnp.floor(blk + 0.5), 0.0, 255.0)
+                blk = blk.astype(jnp.int32).astype(jnp.uint8)
+                out_ref[0] = jnp.where(mask, blk, out_ref[0])
 
     return kernel
-
-
-def _run_blur_class(plan, cls: BlurClass, padded, prev_out, interpret):
-    kernel = _make_blur_kernel(cls)
-    args = [staged(cls.meta), padded]
-    in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
-    kwargs = {}
-    if prev_out is not None:
-        args.append(prev_out)
-        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
-        kwargs["input_output_aliases"] = {2: 0}
-
-        def kfn(meta_ref, src_ref, prev_ref, out_ref, win, sems):
-            del prev_ref
-            kernel(meta_ref, src_ref, out_ref, win, sems)
-    else:
-        kfn = kernel
-
-    gs = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(cls.n,),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec(
-            (1, TH, TW, LANES),
-            lambda i, m: (m[0, i], 0, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((2, cls.win_h, TW + 2 * cls.rxq, LANES), jnp.uint8),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-    )
-    return pl.pallas_call(
-        kfn,
-        grid_spec=gs,
-        out_shape=jax.ShapeDtypeStruct(
-            (plan.n_tiles, TH, TW, LANES), jnp.uint8
-        ),
-        interpret=interpret,
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
-        **kwargs,
-    )(*args)
 
 
 def blur_lane(
@@ -243,13 +305,67 @@ def blur_lane(
 ) -> jnp.ndarray:
     """Blur + round a uint8 plane in lane layout: [H, W, 128] -> same."""
     assert x.shape == (plan.H, plan.W, LANES), x.shape
-    left = jnp.repeat(x[:, :1, :], plan.rxq_g, axis=1)
-    right = jnp.repeat(x[:, -1:, :], plan.rxq_g + plan.Wt - plan.W, axis=1)
-    padded = jnp.concatenate([left, x, right], axis=1)
-    out = None
-    for cls in plan.classes:
-        out = _run_blur_class(plan, cls, padded, out, interpret)
+    padded = jnp.pad(
+        x,
+        (
+            (plan.ry_g, plan.ry_g),
+            (plan.rxq_g, plan.rxq_g + plan.Wt - plan.W),
+            (0, 0),
+        ),
+        mode="edge",
+    )
+    gs = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(plan.n_work,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, plan.tapsx.shape[1]),
+                lambda i, m: (i, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(
+                (1, plan.tapsy.shape[1]),
+                lambda i, m: (i, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(
+                (1, 4), lambda i, m: (i, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, TH, TW, LANES),
+            lambda i, m: (m[0, i], 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM(
+                (2, TH + 2 * plan.ry_g, TW + 2 * plan.rxq_g, LANES),
+                jnp.uint8,
+            ),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        _make_kernel(plan),
+        grid_spec=gs,
+        out_shape=jax.ShapeDtypeStruct((plan.n_tiles, TH, TW, LANES), jnp.uint8),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(
+        staged(plan.meta),
+        staged(plan.tapsx),
+        staged(plan.tapsy),
+        staged(plan.rowmeta),
+        padded,
+    )
     out = out.reshape(plan.n_ty, plan.n_tx, TH, TW, LANES)
     out = jnp.transpose(out, (0, 2, 1, 3, 4))
     out = out.reshape(plan.H, plan.Wt, LANES)
-    return out[:, : plan.W, :]
+    out = out[:, : plan.W, :]
+    if plan.zero_w_from < plan.W:
+        # odd LR dims: the reference's zero-initialized destination leaves
+        # the uncovered final column zero (filterPlane, :625)
+        col = jax.lax.broadcasted_iota(jnp.int32, out.shape, 1)
+        out = jnp.where(col >= plan.zero_w_from, jnp.uint8(0), out)
+    return out

@@ -576,17 +576,31 @@ def compute_filtering_configs(
 def filter_plane(
     cfg: TransformConfig, plane: np.ndarray, configs: List[SegmentConfig]
 ) -> np.ndarray:
-    """Segment-wise separable Gaussian blur via cv2.sepFilter2D with
-    per-segment BORDER_REPLICATE (VideoFrameTransform.cpp:173-204,579-704)."""
+    """Segment-wise separable Gaussian blur
+    (VideoFrameTransform.cpp:173-204,579-704).
+
+    The reference calls ``cv::sepFilter2D`` on non-isolated ROIs of the
+    full plane with BORDER_REPLICATE: border taps read *real parent-image
+    pixels* beyond the segment, replicating only at true plane edges.  A
+    numpy slice passed to cv2 loses ROI parentage (behaves isolated), so
+    the equivalent form used here extends each segment by the kernel radii
+    with real neighbors (clamped at plane edges) before filtering, then
+    crops the center — the crop never touches cv2's own border handling.
+    """
     assert cv2 is not None, "oracle filtering requires opencv-python"
     blurred = np.zeros_like(plane)
+    H, W = plane.shape
 
     def run(configs, left_off, top_off):
         for c in configs:
             l, t = c.left + left_off, c.top + top_off
-            seg = plane[t : t + c.height, l : l + c.width]
+            rx = (c.kernel_x.shape[0] - 1) // 2
+            ry = (c.kernel_y.shape[0] - 1) // 2
+            rows = np.clip(np.arange(t - ry, t + c.height + ry), 0, H - 1)
+            cols = np.clip(np.arange(l - rx, l + c.width + rx), 0, W - 1)
+            ext = np.ascontiguousarray(plane[np.ix_(rows, cols)])
             out = cv2.sepFilter2D(
-                seg,
+                ext,
                 -1,
                 c.kernel_x.reshape(1, -1),
                 c.kernel_y.reshape(1, -1),
@@ -594,7 +608,9 @@ def filter_plane(
                 delta=0,
                 borderType=cv2.BORDER_REPLICATE,
             )
-            blurred[t : t + c.height, l : l + c.width] = out
+            blurred[t : t + c.height, l : l + c.width] = out[
+                ry : ry + c.height, rx : rx + c.width
+            ]
 
     if cfg.input_stereo_format == StereoFormat.LR:
         run(configs, 0, 0)

@@ -27,7 +27,7 @@ import numpy as np
 
 from . import geometry, sampling
 from .config import Interpolation, Layout, StereoFormat, TransformConfig, chroma_dims
-from .filtering import BandSpec, BlurPlan, build_blur_plan
+from .filtering import BandSpec, BlurPlan, _expand_cols, build_blur_plan
 from .sampling import SampleSpec, area_matrix, make_sample_spec
 
 
@@ -221,16 +221,22 @@ def _plane_from_npz(prefix: str, meta: dict, data) -> PlanePlan:
     blur = None
     if meta["blur"] is not None:
         bm = meta["blur"]
+
+        def band(k, b):
+            kx = data[f"{prefix}.band{k}.kx"]
+            ky = data[f"{prefix}.band{k}.ky"]
+            # column-expanded taps are derived, not serialized
+            return BandSpec(
+                top=b["top"],
+                height=b["height"],
+                kx=kx,
+                ky=ky,
+                kx_col=_expand_cols(kx, bm["tile_w"], bm["eye_w"]),
+                ky_col=_expand_cols(ky, bm["tile_w"], bm["eye_w"]),
+            )
+
         blur = BlurPlan(
-            bands=tuple(
-                BandSpec(
-                    top=b["top"],
-                    height=b["height"],
-                    kx=data[f"{prefix}.band{k}.kx"],
-                    ky=data[f"{prefix}.band{k}.ky"],
-                )
-                for k, b in enumerate(bm["bands"])
-            ),
+            bands=tuple(band(k, b) for k, b in enumerate(bm["bands"])),
             eye_w=bm["eye_w"],
             eye_h=bm["eye_h"],
             n_tiles=bm["n_tiles"],
