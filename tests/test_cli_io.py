@@ -68,6 +68,89 @@ def test_cli_end_to_end(tmp_path, rng, capsys):
     assert out.stat().st_size == 5 * frame_size_bytes(96, 64)
 
 
+def _make_video(tmp_path, n, w, h):
+    """Synthesize a short video with the shim's own writer (ffmpeg if
+    present, else cv2) and return (path, decoded frames)."""
+    from transform360_tpu.utils.video import VideoReader, VideoWriter
+
+    cw, ch = chroma_dims(w, h)
+    path = tmp_path / "in.avi"
+    with VideoWriter(str(path), w, h, fps=25.0) as wr:
+        for k in range(n):
+            yy, xx = np.mgrid[0:h, 0:w]
+            y = ((xx * 2 + yy + 17 * k) % 256).astype(np.uint8)
+            u = np.full((ch, cw), 90 + 10 * k, np.uint8)
+            v = np.full((ch, cw), 150 - 10 * k, np.uint8)
+            wr.write(y, u, v)
+    decoded = list(VideoReader(str(path)))
+    assert len(decoded) == n
+    return path, decoded
+
+
+def test_cli_video_file_roundtrip(tmp_path, capsys):
+    """Drop-in video workflow: -i in.avi -o out.yuv end to end.  The
+    output (lossless raw) must equal transforming the decoded frames
+    directly — the container decode is the only extra step."""
+    pytest.importorskip("cv2")
+    from transform360_tpu import open_filter
+    from transform360_tpu.utils.yuv import read_yuv420_batch
+
+    w, h, n = 128, 64, 4
+    path, decoded = _make_video(tmp_path, n, w, h)
+    out = tmp_path / "out.yuv"
+    vf = (
+        "cube_edge_length=32:input_stereo_format=mono:"
+        "interpolation_alg=linear:enable_low_pass_filter=0"
+    )
+    rc = cli_main(
+        ["--vf", vf, "-i", str(path), "-o", str(out), "--batch", "2", "--stats"]
+    )
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip())
+    assert stats["frames"] == n
+
+    t = open_filter(vf, w, h)
+    oy, ou, ov = read_yuv420_batch(str(out), 96, 64)
+    for k, (y, u, v) in enumerate(decoded):
+        ey, eu, ev = t.transform(y, u, v)
+        np.testing.assert_array_equal(oy[k], ey)
+        np.testing.assert_array_equal(ou[k], eu)
+        np.testing.assert_array_equal(ov[k], ev)
+
+
+def test_cli_video_output(tmp_path, capsys):
+    """Video-container output: encode, re-decode, PSNR-check a frame
+    against the direct transform (output codec is the only lossy step)."""
+    pytest.importorskip("cv2")
+    from tests.conftest import psnr
+    from transform360_tpu import open_filter
+    from transform360_tpu.utils.video import VideoReader
+
+    w, h, n = 128, 64, 3
+    path, decoded = _make_video(tmp_path, n, w, h)
+    out = tmp_path / "out.avi"
+    vf = (
+        "cube_edge_length=32:input_stereo_format=mono:"
+        "interpolation_alg=linear:enable_low_pass_filter=0"
+    )
+    rc = cli_main(["--vf", vf, "-i", str(path), "-o", str(out)])
+    assert rc == 0
+    got = list(VideoReader(str(out)))
+    assert len(got) == n
+    t = open_filter(vf, w, h)
+    ey, _, _ = t.transform(*decoded[0])
+    assert got[0][0].shape == ey.shape
+    assert psnr(got[0][0], ey) >= 28.0  # lossy codec round trip
+
+
+def test_cli_raw_input_requires_size(tmp_path):
+    rc = cli_main(
+        ["--vf", "w=64:h=32", "-i", str(tmp_path / "x.yuv"), "-o",
+         str(tmp_path / "y.yuv")]
+    )
+    assert rc == 2
+
+
 def test_cli_plan_save_load(tmp_path, rng, capsys):
     path, _ = make_stream(tmp_path, rng, 2, 128, 64)
     plan_file = tmp_path / "plan.pkl"

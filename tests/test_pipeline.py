@@ -335,3 +335,90 @@ def test_eac_full_pipeline(rng):
         **MONO,
     )
     run_both(cfg, rng, 256, 128, 96, 64, min_db=48.0)
+
+
+def test_pixel_format_yuv444p(rng):
+    """Non-4:2:0 formats run through the same 2-map-plane machinery with
+    shift-derived chroma dims (vf_transform360.c:87-97)."""
+    from transform360_tpu import oracle
+    from transform360_tpu.plan import build_plan as bp
+
+    cfg = TransformConfig(
+        interpolation_alg=Interpolation.LINEAR, enable_low_pass_filter=0, **MONO
+    )
+    y, _, _ = make_yuv(rng, 128, 256)
+    gy, gx = np.mgrid[0:128, 0:256]
+    u = np.clip(128 + 60 * np.sin(gx / 5.0), 0, 255).astype(np.uint8)
+    v = np.clip(128 + 60 * np.cos(gy / 4.0), 0, 255).astype(np.uint8)
+    plan = bp(cfg, 256, 128, 96, 64, pix_fmt="yuv444p")
+    assert plan.chroma.in_w == 256 and plan.chroma.in_h == 128
+    got = transform_batch(plan, y, u, v)
+    want = oracle.transform_frame_planar(cfg, (y, u, v), 96, 64, "yuv444p")
+    for g, w_ in zip(got, want):
+        g = np.asarray(g)
+        assert g.shape == w_.shape
+        assert psnr(g, w_) >= 50.0
+
+
+def test_pixel_format_yuv422p(rng):
+    from transform360_tpu import oracle
+    from transform360_tpu.plan import build_plan as bp
+
+    cfg = TransformConfig(
+        interpolation_alg=Interpolation.CUBIC, enable_low_pass_filter=1, **MONO
+    )
+    y, _, _ = make_yuv(rng, 128, 256)
+    gy, gx = np.mgrid[0:128, 0:128]
+    u = np.clip(128 + 60 * np.sin(gx / 5.0), 0, 255).astype(np.uint8)
+    v = np.clip(128 + 60 * np.cos(gy / 4.0), 0, 255).astype(np.uint8)
+    plan = bp(cfg, 256, 128, 96, 64, pix_fmt="yuv422p")
+    assert (plan.chroma.in_w, plan.chroma.in_h) == (128, 128)
+    got = transform_batch(plan, y, u, v)
+    want = oracle.transform_frame_planar(cfg, (y, u, v), 96, 64, "yuv422p")
+    for g, w_ in zip(got, want):
+        g = np.asarray(g)
+        assert g.shape == w_.shape
+        assert psnr(g, w_) >= 50.0
+
+
+def test_pixel_format_gray(rng):
+    """Single-plane gray: no chroma plan, bare-array return."""
+    from transform360_tpu import oracle
+    from transform360_tpu.api import Transform360
+    from transform360_tpu.plan import build_plan as bp
+
+    cfg = TransformConfig(
+        interpolation_alg=Interpolation.LINEAR, enable_low_pass_filter=0, **MONO
+    )
+    y, _, _ = make_yuv(rng, 128, 256)
+    plan = bp(cfg, 256, 128, 96, 64, pix_fmt="gray")
+    assert plan.chroma is None
+    got = np.asarray(transform_batch(plan, y))
+    (want,) = oracle.transform_frame_planar(cfg, (y,), 96, 64, "gray")
+    assert got.shape == want.shape
+    assert psnr(got, want) >= 50.0
+
+    t = Transform360(cfg, 96, 64, pix_fmt="gray")
+    out = t.transform(y)
+    np.testing.assert_array_equal(out, got)
+
+
+def test_pixel_format_plan_roundtrip(tmp_path, rng):
+    """Gray plans (no chroma) serialize and load."""
+    from transform360_tpu.api import Transform360
+    from transform360_tpu.plan import load_plan, save_plan
+    from transform360_tpu.plan import build_plan as bp
+
+    cfg = TransformConfig(
+        interpolation_alg=Interpolation.LINEAR, enable_low_pass_filter=0, **MONO
+    )
+    plan = bp(cfg, 256, 128, 96, 64, pix_fmt="gray")
+    p = tmp_path / "gray.npz"
+    save_plan(plan, str(p))
+    plan2 = load_plan(str(p))
+    assert plan2.pix_fmt == "gray" and plan2.chroma is None
+    y, _, _ = make_yuv(rng, 128, 256)
+    np.testing.assert_array_equal(
+        np.asarray(transform_batch(plan, y)),
+        np.asarray(transform_batch(plan2, y)),
+    )

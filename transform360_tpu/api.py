@@ -20,6 +20,7 @@ import numpy as np
 
 from .config import (
     FilterOptions,
+    get_pixel_format,
     StereoFormat,
     TransformConfig,
     chroma_dims,
@@ -44,10 +45,16 @@ class Transform360:
         out_w: Optional[int] = None,
         out_h: Optional[int] = None,
         backend: str = "auto",
+        pix_fmt: str = "yuv420p",
     ):
         """``backend``: "auto" (TPU Pallas / XLA pipeline), or "native"
         (the dependency-free C++ engine — CPU fallback with the reference's
-        threading model; see transform360_tpu.native)."""
+        threading model; see transform360_tpu.native).
+
+        ``pix_fmt``: planar pixel format; chroma plane dims derive from
+        its log2 chroma shifts (``vf_transform360.c:87-97``), so
+        yuv422p/yuv444p/gray run through the same two-map-plane machinery.
+        """
         config.validate()
         if backend not in ("auto", "native"):
             raise ValueError(f"unknown backend {backend!r}")
@@ -55,6 +62,7 @@ class Transform360:
         self._cfg = config
         self._out_w = out_w
         self._out_h = out_h
+        self._pix_fmt = get_pixel_format(pix_fmt)
         self._plan: Optional[TransformPlan] = None
         self._native = None
 
@@ -78,7 +86,9 @@ class Transform360:
             cfg = cfg.replace(
                 input_stereo_format=in_fmt, output_stereo_format=out_fmt
             )
-        plan = build_plan(cfg, in_w, in_h, self._out_w, self._out_h)
+        plan = build_plan(
+            cfg, in_w, in_h, self._out_w, self._out_h, self._pix_fmt
+        )
         self._plan = device_put_plan(plan)
         return self._plan
 
@@ -91,25 +101,31 @@ class Transform360:
             self.generate_map(in_w, in_h)
         return self._plan
 
-    def transform(
-        self, y, u, v
-    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """Transform one frame or a batch of YUV420 frames.
+    def transform(self, y, u=None, v=None):
+        """Transform one frame or a batch of planar frames.
 
-        ``y``: uint8 [H, W] or [B, H, W]; ``u``/``v`` the ceil-halved chroma
-        planes.  Maps are generated lazily on the first frame, like the
-        reference filter.  Returns numpy uint8 planes.
+        ``y``: uint8 [H, W] or [B, H, W]; ``u``/``v`` the chroma planes
+        (omit for single-plane formats like gray).  Maps are generated
+        lazily on the first frame, like the reference filter.  Returns
+        numpy uint8 planes (a bare array for single-plane formats).
         """
         if self._backend == "native":
             return self._transform_native(y, u, v)
         y = jnp.asarray(y)
         in_h, in_w = y.shape[-2:]
         plan = self._ensure_plan(in_w, in_h)
-        oy, ou, ov = transform_batch(plan, y, jnp.asarray(u), jnp.asarray(v))
-        return np.asarray(oy), np.asarray(ou), np.asarray(ov)
+        out = transform_batch(plan, y, u, v)
+        if isinstance(out, tuple):
+            return tuple(np.asarray(o) for o in out)
+        return np.asarray(out)
 
     def _transform_native(self, y, u, v):
         from . import native
+
+        if self._pix_fmt.name != "yuv420p" or u is None or v is None:
+            raise ValueError(
+                "the native backend supports yuv420p 3-plane frames only"
+            )
 
         y, u, v = (np.asarray(p, np.uint8) for p in (y, u, v))
         if self._out_w is None or self._out_h is None:
@@ -162,13 +178,22 @@ class Transform360:
 
 
 def open_filter(
-    options: str, in_w: int, in_h: int, eager: bool = True, backend: str = "auto"
+    options: str,
+    in_w: int,
+    in_h: int,
+    eager: bool = True,
+    backend: str = "auto",
+    pix_fmt: str = "yuv420p",
 ) -> Transform360:
     """FFmpeg-shell analog: parse the option string, negotiate output
-    geometry against the input size, and return a ready engine."""
+    geometry against the input size, and return a ready engine.
+
+    ``pix_fmt`` plays the role of the inlink's negotiated pixel format
+    (the option string itself has no such key, matching the reference).
+    """
     opts = parse_options(options)
     out_w, out_h, cfg = negotiate_output_geometry(opts, in_w, in_h)
-    t = Transform360(cfg, out_w, out_h, backend=backend)
+    t = Transform360(cfg, out_w, out_h, backend=backend, pix_fmt=pix_fmt)
     if eager and backend != "native":
         t.generate_map(in_w, in_h)
     return t

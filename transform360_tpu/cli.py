@@ -1,15 +1,21 @@
 """Command-line interface — the FFmpeg filter-shell analog.
 
 Accepts the reference filter's ffmpeg-style ``key=value:key=value`` option
-string verbatim (``vf_transform360.c:407-987``) and applies the transform to
-raw planar YUV420 (I420) input, batching frames across the chip::
+string verbatim (``vf_transform360.c:407-987``) and applies the transform,
+batching frames across the chip::
 
     python -m transform360_tpu.cli \
         --vf "cube_edge_length=512:interpolation_alg=cubic" \
-        --input-size 3840x2160 -i in.yuv -o out.yuv --batch 8
+        -i in.mp4 -o out.mp4 --batch 8
 
-Use ffmpeg (or any decoder) to produce/consume the raw stream:
-``ffmpeg -i in.mp4 -pix_fmt yuv420p -f rawvideo in.yuv``.
+Video containers (.mp4/.mkv/.avi/...) are decoded/encoded through the
+:mod:`.utils.video` shim (ffmpeg subprocess when available, OpenCV
+otherwise) — the drop-in analog of ``ffmpeg -vf transform360=...``
+(reference ``README.md:84-95``).  Raw planar YUV420 (.yuv/.raw/.i420)
+streams are read/written directly and need ``--input-size``::
+
+    python -m transform360_tpu.cli --vf "w=1024:h=512" \
+        --input-size 3840x2160 -i in.yuv -o out.yuv
 """
 
 from __future__ import annotations
@@ -21,8 +27,10 @@ import time
 import numpy as np
 
 from .api import open_filter
+from .config import get_pixel_format
 from .utils.profiling import StageStats
-from .utils.yuv import read_yuv420_frames, write_yuv420_frames
+from .utils.video import VideoReader, VideoWriter, is_raw_path
+from .utils.yuv import read_planar_frames, write_yuv420_frames
 
 
 def _parse_size(s: str):
@@ -44,11 +52,26 @@ def build_parser() -> argparse.ArgumentParser:
         help="ffmpeg-style transform360 option string (key=value:key=value)",
     )
     p.add_argument(
-        "--input-size", type=_parse_size, required=True, metavar="WxH",
-        help="input frame size, e.g. 3840x2160",
+        "--input-size", type=_parse_size, default=None, metavar="WxH",
+        help="input frame size (required for raw .yuv input), e.g. 3840x2160",
     )
-    p.add_argument("-i", "--input", required=True, help="raw I420 input file")
-    p.add_argument("-o", "--output", required=True, help="raw I420 output file")
+    p.add_argument(
+        "-i", "--input", required=True,
+        help="input video file, or raw I420 stream (.yuv/.raw/.i420)",
+    )
+    p.add_argument(
+        "-o", "--output", required=True,
+        help="output video file, or raw I420 stream (.yuv/.raw/.i420)",
+    )
+    p.add_argument(
+        "--fps", type=float, default=None,
+        help="output frame rate (default: input rate, or 30 for raw input)",
+    )
+    p.add_argument(
+        "--pix-fmt", default="yuv420p",
+        help="planar pixel format of raw streams (yuv420p/yuv422p/"
+             "yuv444p/yuv411p/yuv410p/gray); video containers are yuv420p",
+    )
     p.add_argument("--batch", type=int, default=8, help="frames per device step")
     p.add_argument("--frames", type=int, default=0, help="max frames (0 = all)")
     p.add_argument(
@@ -63,9 +86,38 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
-    in_w, in_h = args.input_size
 
-    t = open_filter(args.vf, in_w, in_h, eager=args.load_plan is None)
+    pf = get_pixel_format(args.pix_fmt)
+    if is_raw_path(args.input):
+        if args.input_size is None:
+            print("error: --input-size is required for raw YUV input",
+                  file=sys.stderr)
+            return 2
+        in_w, in_h = args.input_size
+        fps = args.fps or 30.0
+        frames_in = read_planar_frames(
+            args.input, in_w, in_h, args.frames, pf
+        )
+    else:
+        if pf.name != "yuv420p":
+            print("error: video containers decode as yuv420p; --pix-fmt "
+                  "applies to raw streams only", file=sys.stderr)
+            return 2
+        reader = VideoReader(args.input, args.frames)
+        in_w, in_h = reader.width, reader.height
+        if args.input_size and args.input_size != (in_w, in_h):
+            print(
+                f"error: --input-size {args.input_size[0]}x{args.input_size[1]}"
+                f" does not match the stream ({in_w}x{in_h})",
+                file=sys.stderr,
+            )
+            return 2
+        fps = args.fps or reader.fps
+        frames_in = iter(reader)
+
+    t = open_filter(
+        args.vf, in_w, in_h, eager=args.load_plan is None, pix_fmt=pf
+    )
     if args.load_plan:
         t.load_plan(args.load_plan)
 
@@ -73,31 +125,39 @@ def main(argv=None) -> int:
     t0 = time.perf_counter()
 
     def frames_out():
-        batch_y, batch_u, batch_v = [], [], []
+        batches = [[] for _ in range(pf.n_planes)]
 
         def flush():
-            if not batch_y:
+            if not batches[0]:
                 return
             tb = time.perf_counter()
-            oy, ou, ov = t.transform(
-                np.stack(batch_y), np.stack(batch_u), np.stack(batch_v)
-            )
-            stats.record(oy.shape[0], time.perf_counter() - tb)
-            for k in range(oy.shape[0]):
-                yield oy[k], ou[k], ov[k]
-            batch_y.clear()
-            batch_u.clear()
-            batch_v.clear()
+            outs = t.transform(*(np.stack(b) for b in batches))
+            if not isinstance(outs, tuple):
+                outs = (outs,)
+            stats.record(outs[0].shape[0], time.perf_counter() - tb)
+            for k in range(outs[0].shape[0]):
+                yield tuple(o[k] for o in outs)
+            for b in batches:
+                b.clear()
 
-        for y, u, v in read_yuv420_frames(args.input, in_w, in_h, args.frames):
-            batch_y.append(y)
-            batch_u.append(u)
-            batch_v.append(v)
-            if len(batch_y) >= args.batch:
+        for planes in frames_in:
+            for b, p in zip(batches, planes):
+                b.append(p)
+            if len(batches[0]) >= args.batch:
                 yield from flush()
         yield from flush()
 
-    write_yuv420_frames(args.output, frames_out())
+    if is_raw_path(args.output):
+        write_yuv420_frames(args.output, frames_out())
+    else:
+        if pf.name != "yuv420p":
+            print("error: video-container output requires yuv420p",
+                  file=sys.stderr)
+            return 2
+        out_w, out_h = t.output_dims()
+        with VideoWriter(args.output, out_w, out_h, fps) as w:
+            for oy, ou, ov in frames_out():
+                w.write(oy, ou, ov)
     dt = time.perf_counter() - t0
 
     if args.save_plan:

@@ -429,10 +429,53 @@ def negotiate_output_geometry(
     return out_w, out_h, cfg
 
 
-def chroma_dims(w: int, h: int) -> Tuple[int, int]:
-    """YUV420 chroma plane dims: ceil-rshift by 1.
+@dataclasses.dataclass(frozen=True)
+class PixelFormat:
+    """Planar pixel-format descriptor — the fields of FFmpeg's
+    ``AVPixFmtDescriptor`` that the reference filter actually reads
+    (``vf_transform360.c:87-97``: ``log2_chroma_w/h``; ``:368-372``:
+    the plane count via the frame's data pointers)."""
+
+    name: str
+    n_planes: int
+    log2_chroma_w: int
+    log2_chroma_h: int
+
+
+PIXEL_FORMATS = {
+    pf.name: pf
+    for pf in (
+        PixelFormat("yuv420p", 3, 1, 1),
+        PixelFormat("yuvj420p", 3, 1, 1),
+        PixelFormat("yuv422p", 3, 1, 0),
+        PixelFormat("yuvj422p", 3, 1, 0),
+        PixelFormat("yuv444p", 3, 0, 0),
+        PixelFormat("yuvj444p", 3, 0, 0),
+        PixelFormat("yuv411p", 3, 2, 0),
+        PixelFormat("yuv410p", 3, 2, 2),
+        PixelFormat("gray", 1, 0, 0),
+    )
+}
+PIXEL_FORMATS["gray8"] = PIXEL_FORMATS["gray"]
+
+
+def get_pixel_format(pf) -> PixelFormat:
+    if isinstance(pf, PixelFormat):
+        return pf
+    try:
+        return PIXEL_FORMATS[str(pf).lower()]
+    except KeyError:
+        raise ValueError(
+            f"unsupported pix_fmt {pf!r} (supported: "
+            f"{sorted(set(PIXEL_FORMATS))})"
+        ) from None
+
+
+def chroma_dims(w: int, h: int, pix_fmt="yuv420p") -> Tuple[int, int]:
+    """Chroma plane dims via the format's log2 chroma shifts.
 
     Parity with ``update_plane_sizes`` (``vf_transform360.c:87-97``,
-    FF_CEIL_RSHIFT with log2_chroma_{w,h} = 1 for yuv420p).
+    ``FF_CEIL_RSHIFT(x, s) = -((-x) >> s)``); defaults to yuv420p.
     """
-    return (w + 1) >> 1, (h + 1) >> 1
+    pf = get_pixel_format(pix_fmt)
+    return -((-w) >> pf.log2_chroma_w), -((-h) >> pf.log2_chroma_h)

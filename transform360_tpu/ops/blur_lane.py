@@ -68,10 +68,10 @@ class BlurLanePlan:
     n_tiles: int         # output blocks
     n_work: int          # work tiles (>= n_tiles: partial bands add tiles)
     classes: Tuple[BlurClassGeom, ...]
-    meta: np.ndarray     # i32 [3, n_work]: out_id, win_row, win_col
-    rowmeta: np.ndarray  # i32 [n_work, 4]: a, b, class_id, 0
-    tapsx: np.ndarray    # f32 [n_work, LXg] centered zero-padded x taps
-    tapsy: np.ndarray    # f32 [n_work, LYg]
+    meta: np.ndarray     # i32 [6, n_work]: out_id, win_row, win_col, a, b, cid
+    tapsx: np.ndarray    # f32 [n_work, 8, LXg] centered x taps (row 0 only;
+                         # the 8-row pad satisfies Mosaic's SMEM block rule)
+    tapsy: np.ndarray    # f32 [n_work, 8, LYg]
     zero_w_from: int     # zero columns >= this (odd LR dims), or W
 
 
@@ -189,16 +189,14 @@ def build_blur_lane(
     lxg = max(c.lx for c in classes)
     lyg = max(c.ly for c in classes)
     n_work = len(work)
-    meta = np.zeros((3, n_work), np.int32)
-    rowmeta = np.zeros((n_work, 4), np.int32)
-    tapsx = np.zeros((n_work, lxg), np.float32)
-    tapsy = np.zeros((n_work, lyg), np.float32)
+    meta = np.zeros((6, n_work), np.int32)
+    tapsx = np.zeros((n_work, 8, lxg), np.float32)
+    tapsy = np.zeros((n_work, 8, lyg), np.float32)
     for i, (oid, a, b, cid, kx, ky) in enumerate(work):
         tb, tj = divmod(oid, n_tx)
-        meta[:, i] = (oid, tb * TH, tj * TW)
-        rowmeta[i] = (a, b, cid, 0)
-        tapsx[i, (lxg - len(kx)) // 2 : (lxg - len(kx)) // 2 + len(kx)] = kx
-        tapsy[i, (lyg - len(ky)) // 2 : (lyg - len(ky)) // 2 + len(ky)] = ky
+        meta[:, i] = (oid, tb * TH, tj * TW, a, b, cid)
+        tapsx[i, 0, (lxg - len(kx)) // 2 : (lxg - len(kx)) // 2 + len(kx)] = kx
+        tapsy[i, 0, (lyg - len(ky)) // 2 : (lyg - len(ky)) // 2 + len(ky)] = ky
 
     # a block's rows must be fully covered by its tiles' [a, b) ranges
     cover = {}
@@ -218,7 +216,6 @@ def build_blur_lane(
         n_work=n_work,
         classes=tuple(classes),
         meta=meta,
-        rowmeta=rowmeta,
         tapsx=tapsx,
         tapsy=tapsy,
         zero_w_from=zero_w_from,
@@ -229,10 +226,10 @@ def _make_kernel(plan: BlurLanePlan):
     wh = TH + 2 * plan.ry_g
     ww = TW + 2 * plan.rxq_g
     n = plan.n_work
-    lxg = plan.tapsx.shape[1]
-    lyg = plan.tapsy.shape[1]
+    lxg = plan.tapsx.shape[2]
+    lyg = plan.tapsy.shape[2]
 
-    def kernel(meta_ref, tx_ref, ty_ref, rm_ref, src_ref, out_ref, win, sems):
+    def kernel(meta_ref, tx_ref, ty_ref, src_ref, out_ref, win, sems):
         i = pl.program_id(0)
 
         def dma(slot, t):
@@ -257,9 +254,9 @@ def _make_kernel(plan: BlurLanePlan):
         slot = i % 2
         dma(slot, i).wait()
 
-        a = rm_ref[0, 0]
-        b = rm_ref[0, 1]
-        cid = rm_ref[0, 2]
+        a = meta_ref[3, i]
+        b = meta_ref[4, i]
+        cid = meta_ref[5, i]
 
         rows_idx = jax.lax.broadcasted_iota(jnp.int32, (TH, TW, LANES), 0)
         mask = (rows_idx >= a) & (rows_idx < b)
@@ -272,8 +269,8 @@ def _make_kernel(plan: BlurLanePlan):
 
             @pl.when(cid == k)
             def _(cls=cls, rx=rx, ry=ry, off0=off0, row0=row0):
-                kxs = [tx_ref[0, (lxg - cls.lx) // 2 + u] for u in range(cls.lx)]
-                kys = [ty_ref[0, (lyg - cls.ly) // 2 + v] for v in range(cls.ly)]
+                kxs = [tx_ref[0, 0, (lxg - cls.lx) // 2 + u] for u in range(cls.lx)]
+                kys = [ty_ref[0, 0, (lyg - cls.ly) // 2 + v] for v in range(cls.ly)]
                 # x-convolve each needed row once (rows are shared across
                 # the y-taps of adjacent output rows), then y-convolve.
                 xrows = []
@@ -319,17 +316,14 @@ def blur_lane(
         grid=(plan.n_work,),
         in_specs=[
             pl.BlockSpec(
-                (1, plan.tapsx.shape[1]),
-                lambda i, m: (i, 0),
+                (1, 8, plan.tapsx.shape[2]),
+                lambda i, m: (i, 0, 0),
                 memory_space=pltpu.SMEM,
             ),
             pl.BlockSpec(
-                (1, plan.tapsy.shape[1]),
-                lambda i, m: (i, 0),
+                (1, 8, plan.tapsy.shape[2]),
+                lambda i, m: (i, 0, 0),
                 memory_space=pltpu.SMEM,
-            ),
-            pl.BlockSpec(
-                (1, 4), lambda i, m: (i, 0), memory_space=pltpu.SMEM
             ),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -356,7 +350,6 @@ def blur_lane(
         staged(plan.meta),
         staged(plan.tapsx),
         staged(plan.tapsy),
-        staged(plan.rowmeta),
         padded,
     )
     out = out.reshape(plan.n_ty, plan.n_tx, TH, TW, LANES)

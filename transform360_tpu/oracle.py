@@ -708,3 +708,45 @@ def transform_frame_yuv420(
     out_u = transform_plane(cfg, u, warp_chroma, c_out_w, c_out_h, 1, cfgs_c)
     out_v = transform_plane(cfg, v, warp_chroma, c_out_w, c_out_h, 1, cfgs_c)
     return out_y, out_u, out_v
+
+
+def transform_frame_planar(
+    cfg: TransformConfig,
+    planes,
+    out_w: int,
+    out_h: int,
+    pix_fmt="yuv420p",
+):
+    """Oracle N-plane transform: plane 0 uses the luma map, every other
+    plane the chroma map, with chroma dims from the format's log2 shifts
+    (``vf_transform360.c:87-97,368-372``)."""
+    from .config import chroma_dims, get_pixel_format
+
+    pf = get_pixel_format(pix_fmt)
+    assert len(planes) == pf.n_planes, (len(planes), pf.n_planes)
+    in_h, in_w = planes[0].shape
+    warp_luma = build_warp_map(cfg, in_w, in_h, out_w, out_h)
+    cfgs_l = (
+        compute_filtering_configs(
+            cfg, in_w, in_h, warp_luma.shape[1], warp_luma.shape[0]
+        )
+        if cfg.enable_low_pass_filter
+        else None
+    )
+    outs = [transform_plane(cfg, planes[0], warp_luma, out_w, out_h, 0, cfgs_l)]
+    if pf.n_planes > 1:
+        c_in_w, c_in_h = chroma_dims(in_w, in_h, pf)
+        c_out_w, c_out_h = chroma_dims(out_w, out_h, pf)
+        warp_c = build_warp_map(cfg, c_in_w, c_in_h, c_out_w, c_out_h)
+        cfgs_c = (
+            compute_filtering_configs(
+                cfg, c_in_w, c_in_h, warp_c.shape[1], warp_c.shape[0]
+            )
+            if cfg.enable_low_pass_filter
+            else None
+        )
+        for p in planes[1:]:
+            outs.append(
+                transform_plane(cfg, p, warp_c, c_out_w, c_out_h, 1, cfgs_c)
+            )
+    return tuple(outs)

@@ -218,18 +218,33 @@ def device_put_plan(plan: TransformPlan, device=None) -> TransformPlan:
     return plan
 
 
-def transform_planes(plan: TransformPlan, y, u, v):
-    """Device fast path: uint8 [B, H, W] planes in, same layout out.
+def transform_frame_planes(plan: TransformPlan, planes):
+    """N-plane device fast path: uint8 [B, H, W] planes in, same layout out.
 
-    Three image planes share two map planes (planes 1 and 2 both use the
-    chroma plan — ``vf_transform360.c:372``).  U and V are stacked into one
-    2B-batch kernel invocation: they share every plan constant, so this
-    halves the chroma launch/window overhead."""
-    luma = plane_executor(plan.luma)
-    chroma = plane_executor(plan.chroma)
-    b = u.shape[0]
-    uv = chroma(jnp.concatenate([u, v], axis=0))
-    return luma(y), uv[:b], uv[b:]
+    Plane 0 uses the luma map; every other plane shares the chroma map
+    (``vf_transform360.c:372``: ``plane==1||2 ? 1 : 0``).  All chroma
+    planes are stacked into ONE kernel invocation — they share every plan
+    constant, so this divides the chroma launch/window overhead."""
+    outs = [plane_executor(plan.luma)(planes[0])]
+    rest = planes[1:]
+    if rest:
+        if plan.chroma is None:
+            raise ValueError(
+                f"plan is single-plane ({plan.pix_fmt}) but got "
+                f"{len(planes)} planes"
+            )
+        chroma = plane_executor(plan.chroma)
+        stacked = chroma(jnp.concatenate(rest, axis=0))
+        off = 0
+        for p in rest:
+            outs.append(stacked[off : off + p.shape[0]])
+            off += p.shape[0]
+    return tuple(outs)
+
+
+def transform_planes(plan: TransformPlan, y, u, v):
+    """YUV 3-plane convenience over :func:`transform_frame_planes`."""
+    return transform_frame_planes(plan, (y, u, v))
 
 
 # Alias used by benches/tools.
@@ -239,22 +254,23 @@ _frame_step = transform_planes
 def transform_batch(
     plan: TransformPlan,
     y,
-    u,
-    v,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Transform a batch of YUV420 frames.
+    u=None,
+    v=None,
+) -> Tuple[jnp.ndarray, ...]:
+    """Transform a batch of planar frames.
 
     ``y``: uint8 [B, H, W] (or [H, W] single frame); ``u``/``v``: the
-    ceil-halved chroma planes.  Returns uint8 planes at the negotiated
-    output size.
+    chroma planes (omit for single-plane formats).  Returns uint8 planes
+    at the negotiated output size.
     """
-    y = jnp.asarray(y)
-    u = jnp.asarray(u)
-    v = jnp.asarray(v)
-    if y.ndim == 2:
-        oy, ou, ov = transform_planes(plan, y[None], u[None], v[None])
-        return oy[0], ou[0], ov[0]
-    return transform_planes(plan, y, u, v)
+    planes = [jnp.asarray(p) for p in (y, u, v) if p is not None]
+    squeeze = planes[0].ndim == 2
+    if squeeze:
+        planes = [p[None] for p in planes]
+    outs = transform_frame_planes(plan, tuple(planes))
+    if squeeze:
+        outs = tuple(o[0] for o in outs)
+    return outs if len(outs) > 1 else outs[0]
 
 
 def transform_frame(plan: TransformPlan, y, u, v):
@@ -270,6 +286,8 @@ def transform_plane(
     (``VideoFrameTransformHandler.h:36-47``): the caller picks the map
     plane (0 = luma, 1 = chroma) for the given image plane."""
     pp = plan.luma if map_plane_index == 0 else plan.chroma
+    if pp is None:
+        raise ValueError(f"plan has no map plane {map_plane_index} ({plan.pix_fmt})")
     plane = jnp.asarray(plane)
     squeeze = plane.ndim == 2
     if squeeze:

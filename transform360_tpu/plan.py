@@ -26,7 +26,14 @@ import jax
 import numpy as np
 
 from . import geometry, sampling
-from .config import Interpolation, Layout, StereoFormat, TransformConfig, chroma_dims
+from .config import (
+    Interpolation,
+    Layout,
+    StereoFormat,
+    TransformConfig,
+    chroma_dims,
+    get_pixel_format,
+)
 from .filtering import BandSpec, BlurPlan, _expand_cols, build_blur_plan
 from .sampling import SampleSpec, area_matrix, make_sample_spec
 
@@ -58,7 +65,9 @@ class TransformPlan:
     out_w: int
     out_h: int
     luma: PlanePlan
-    chroma: PlanePlan
+    chroma: Optional[PlanePlan]  # None for single-plane formats (gray)
+    pix_fmt: str = "yuv420p"
+    n_planes: int = 3
 
 
 def _build_plane_plan(
@@ -105,23 +114,33 @@ _PLAN_CACHE: Dict[Tuple, TransformPlan] = {}
 
 
 def build_plan(
-    cfg: TransformConfig, in_w: int, in_h: int, out_w: int, out_h: int
+    cfg: TransformConfig,
+    in_w: int,
+    in_h: int,
+    out_w: int,
+    out_h: int,
+    pix_fmt="yuv420p",
 ) -> TransformPlan:
     """Build (or fetch the memoized) full-frame plan.
 
     Stereo GUESS must already be resolved (see
     :func:`transform360_tpu.config.negotiate_output_geometry`).
-    Two map planes serve three image planes: chroma dims are the yuv420
-    ceil-halved dims (``vf_transform360.c:87-97,147-162``).
+    Two map planes serve all image planes: chroma dims come from the
+    pixel format's log2 chroma shifts, so yuv422p/yuv444p/gray work
+    through the same machinery (``vf_transform360.c:87-97,147-162``).
     """
     if StereoFormat.GUESS in (cfg.input_stereo_format, cfg.output_stereo_format):
         raise ValueError("resolve GUESS stereo formats before building a plan")
-    key = (cfg.cache_key(), in_w, in_h, out_w, out_h)
+    pf = get_pixel_format(pix_fmt)
+    key = (cfg.cache_key(), in_w, in_h, out_w, out_h, pf.name)
     hit = _PLAN_CACHE.get(key)
     if hit is not None:
         return hit
-    c_in_w, c_in_h = chroma_dims(in_w, in_h)
-    c_out_w, c_out_h = chroma_dims(out_w, out_h)
+    chroma = None
+    if pf.n_planes > 1:
+        c_in_w, c_in_h = chroma_dims(in_w, in_h, pf)
+        c_out_w, c_out_h = chroma_dims(out_w, out_h, pf)
+        chroma = _build_plane_plan(cfg, c_in_w, c_in_h, c_out_w, c_out_h, 1)
     plan = TransformPlan(
         cfg=cfg,
         in_w=in_w,
@@ -129,7 +148,9 @@ def build_plan(
         out_w=out_w,
         out_h=out_h,
         luma=_build_plane_plan(cfg, in_w, in_h, out_w, out_h, 0),
-        chroma=_build_plane_plan(cfg, c_in_w, c_in_h, c_out_w, c_out_h, 1),
+        chroma=chroma,
+        pix_fmt=pf.name,
+        n_planes=pf.n_planes,
     )
     _PLAN_CACHE[key] = plan
     return plan
@@ -274,15 +295,17 @@ def save_plan(plan: TransformPlan, path: str) -> None:
         "in_h": plan.in_h,
         "out_w": plan.out_w,
         "out_h": plan.out_h,
+        "pix_fmt": plan.pix_fmt,
+        "n_planes": plan.n_planes,
         "luma": _plane_meta(plan.luma),
-        "chroma": _plane_meta(plan.chroma),
+        "chroma": None if plan.chroma is None else _plane_meta(plan.chroma),
     }
     arrays = {
         "header": np.frombuffer(
             json.dumps(header).encode("utf-8"), dtype=np.uint8
         ),
         **_plane_arrays("luma", plan.luma),
-        **_plane_arrays("chroma", plan.chroma),
+        **({} if plan.chroma is None else _plane_arrays("chroma", plan.chroma)),
     }
     with open(path, "wb") as f:
         np.savez(f, **arrays)
@@ -315,6 +338,12 @@ def load_plan(path: str) -> TransformPlan:
             in_h=header["in_h"],
             out_w=header["out_w"],
             out_h=header["out_h"],
+            pix_fmt=header.get("pix_fmt", "yuv420p"),
+            n_planes=header.get("n_planes", 3),
             luma=_plane_from_npz("luma", header["luma"], data),
-            chroma=_plane_from_npz("chroma", header["chroma"], data),
+            chroma=(
+                None
+                if header["chroma"] is None
+                else _plane_from_npz("chroma", header["chroma"], data)
+            ),
         )

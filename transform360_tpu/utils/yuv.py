@@ -17,48 +17,71 @@ import numpy as np
 from ..config import chroma_dims
 
 
-def frame_size_bytes(w: int, h: int) -> int:
-    cw, ch = chroma_dims(w, h)
-    return w * h + 2 * cw * ch
+def frame_size_bytes(w: int, h: int, pix_fmt="yuv420p") -> int:
+    from ..config import get_pixel_format
+
+    pf = get_pixel_format(pix_fmt)
+    if pf.n_planes == 1:
+        return w * h
+    cw, ch = chroma_dims(w, h, pf)
+    return w * h + (pf.n_planes - 1) * cw * ch
+
+
+def read_planar_frames(
+    path: str, w: int, h: int, max_frames: int = 0, pix_fmt="yuv420p"
+) -> Iterator[Tuple[np.ndarray, ...]]:
+    """Yield per-frame uint8 plane tuples from a raw planar stream.
+
+    Plane dims derive from the format's log2 chroma shifts, like the
+    reference's ``update_plane_sizes`` (``vf_transform360.c:87-97``)."""
+    from ..config import get_pixel_format
+
+    pf = get_pixel_format(pix_fmt)
+    cw, ch = chroma_dims(w, h, pf)
+    sizes = [(h, w)] + [(ch, cw)] * (pf.n_planes - 1)
+    total = sum(a * b for a, b in sizes)
+    n = 0
+    with open(path, "rb") as f:
+        while True:
+            buf = f.read(total)
+            if len(buf) < total:
+                return
+            planes, off = [], 0
+            for ph, pw in sizes:
+                planes.append(
+                    np.frombuffer(buf, np.uint8, ph * pw, off).reshape(ph, pw)
+                )
+                off += ph * pw
+            yield tuple(planes)
+            n += 1
+            if max_frames and n >= max_frames:
+                return
 
 
 def read_yuv420_frames(
     path: str, w: int, h: int, max_frames: int = 0
 ) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
     """Yield (Y, U, V) uint8 planes from a raw I420 file."""
-    cw, ch = chroma_dims(w, h)
-    ysz, csz = w * h, cw * ch
-    n = 0
-    with open(path, "rb") as f:
-        while True:
-            buf = f.read(ysz + 2 * csz)
-            if len(buf) < ysz + 2 * csz:
-                return
-            y = np.frombuffer(buf, np.uint8, ysz).reshape(h, w)
-            u = np.frombuffer(buf, np.uint8, csz, ysz).reshape(ch, cw)
-            v = np.frombuffer(buf, np.uint8, csz, ysz + csz).reshape(ch, cw)
-            yield y, u, v
-            n += 1
-            if max_frames and n >= max_frames:
-                return
+    return read_planar_frames(path, w, h, max_frames, "yuv420p")
 
 
 def read_yuv420_batch(
-    path: str, w: int, h: int, max_frames: int = 0
-) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Read a whole raw I420 file into stacked [B, ...] plane arrays."""
-    ys, us, vs = [], [], []
-    for y, u, v in read_yuv420_frames(path, w, h, max_frames):
-        ys.append(y)
-        us.append(u)
-        vs.append(v)
-    if not ys:
+    path: str, w: int, h: int, max_frames: int = 0, pix_fmt="yuv420p"
+) -> Tuple[np.ndarray, ...]:
+    """Read a whole raw planar file into stacked [B, ...] plane arrays."""
+    cols = None
+    for planes in read_planar_frames(path, w, h, max_frames, pix_fmt):
+        if cols is None:
+            cols = [[] for _ in planes]
+        for c, p in zip(cols, planes):
+            c.append(p)
+    if cols is None:
         raise ValueError(f"no complete {w}x{h} frames in {path}")
-    return np.stack(ys), np.stack(us), np.stack(vs)
+    return tuple(np.stack(c) for c in cols)
 
 
 def write_yuv420_frames(path_or_file, planes_iter) -> int:
-    """Write (Y, U, V) frames as raw I420. Returns frame count."""
+    """Write planar frames (tuples of planes) as a raw stream."""
     close = False
     f = path_or_file
     if isinstance(path_or_file, str):
@@ -66,10 +89,9 @@ def write_yuv420_frames(path_or_file, planes_iter) -> int:
         close = True
     n = 0
     try:
-        for y, u, v in planes_iter:
-            f.write(np.ascontiguousarray(y, np.uint8).tobytes())
-            f.write(np.ascontiguousarray(u, np.uint8).tobytes())
-            f.write(np.ascontiguousarray(v, np.uint8).tobytes())
+        for planes in planes_iter:
+            for p in planes:
+                f.write(np.ascontiguousarray(p, np.uint8).tobytes())
             n += 1
     finally:
         if close:
