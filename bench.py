@@ -10,7 +10,6 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 import json
 import sys
-import time
 
 import numpy as np
 
@@ -20,7 +19,7 @@ def main():
 
     from transform360_tpu import TransformConfig, build_plan, chroma_dims
     from transform360_tpu.config import Interpolation, StereoFormat
-    from transform360_tpu.pipeline import _frame_step, device_put_plan
+    from transform360_tpu.pipeline import device_put_plan
 
     IN_W, IN_H = 3840, 2160
     EDGE = 512
@@ -51,39 +50,9 @@ def main():
     # per-step time comes from the difference between two chain lengths.
     # Plan arrays are hoisted into runtime arguments (ops/staging.py), so
     # the chained program's HLO stays small for any plan size.
-    from transform360_tpu.pipeline import plane_executor
+    from transform360_tpu.utils.profiling import time_frame_step
 
-    lfn, _, lc = plane_executor(plan.luma).staged_for(y)
-    cfn, _, cc = plane_executor(plan.chroma).staged_for(u)
-
-    def make_chain(n):
-        @jax.jit
-        def chain(y, u, v, lc, cc):
-            for _ in range(n):
-                oy, ou, ov = lfn(y, lc), cfn(u, cc), cfn(v, cc)
-                # chain on ALL outputs (an unused plane would be DCE'd)
-                d = oy[0, 0, 0] + ou[0, 0, 0] + ov[0, 0, 0]
-                y = y + d
-                u = u + d
-                v = v + d
-            return y, u, v
-
-        return chain
-
-    n_short, n_long = 2, 26
-    c_short, c_long = make_chain(n_short), make_chain(n_long)
-    jax.block_until_ready(c_short(y, u, v, lc, cc))  # compile
-    jax.block_until_ready(c_long(y, u, v, lc, cc))
-
-    def run(chain, k):
-        t0 = time.perf_counter()
-        jax.block_until_ready(chain(y + np.uint8(k), u, v, lc, cc))
-        return time.perf_counter() - t0
-
-    t_short = min(run(c_short, k) for k in (1, 2, 3))
-    t_long = min(run(c_long, k) for k in (4, 5, 6))
-    best = (t_long - t_short) / (n_long - n_short)
-
+    best = time_frame_step(plan, y, u, v, n_short=2, n_long=26)
     fps = BATCH / best
     print(
         json.dumps(

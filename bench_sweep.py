@@ -1,0 +1,168 @@
+"""Per-config benchmark sweep: frames/sec/chip for ALL five BASELINE.json
+quality-knob configs (plus batch-size variants of the flagship), using the
+same in-jit chain-difference methodology as bench.py.
+
+Prints one JSON line per measurement.  Run on the real chip:
+
+    python bench_sweep.py                 # full sweep (slow: many compiles)
+    python bench_sweep.py flagship_b128   # one case
+    python bench_sweep.py --with-transfer # flagship incl. H2D/D2H transfer
+
+The --with-transfer number includes host<->device transfer of the uint8
+planes.  NOTE: on the development tunnel (remote chip over HTTP) the
+transfer path runs at ~13 MB/s and dominates — that measures the tunnel,
+not a production PCIe/DMA data path; both numbers are reported so the
+compute headline can be compared against a transfer-inclusive bound.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+IN_W, IN_H = 3840, 2160
+BASELINE_FPS = 1000.0
+
+
+def make_frames(rng, batch, in_w, in_h):
+    import jax
+
+    from transform360_tpu import chroma_dims
+
+    cw, ch = chroma_dims(in_w, in_h)
+    y = jax.device_put(rng.integers(0, 256, (batch, in_h, in_w), dtype=np.uint8))
+    u = jax.device_put(rng.integers(0, 256, (batch, ch, cw), dtype=np.uint8))
+    v = jax.device_put(rng.integers(0, 256, (batch, ch, cw), dtype=np.uint8))
+    return y, u, v
+
+
+def run_case(name, cfg_kw, out_wh, batch, n_long=18):
+    from transform360_tpu import TransformConfig, build_plan
+    from transform360_tpu.config import StereoFormat
+    from transform360_tpu.utils.profiling import time_frame_step
+
+    cfg = TransformConfig(**cfg_kw)
+    ow, oh = out_wh
+    plan = build_plan(cfg, IN_W, IN_H, ow, oh)
+    rng = np.random.default_rng(0)
+    y, u, v = make_frames(rng, batch, IN_W, IN_H)
+    sec = time_frame_step(plan, y, u, v, n_short=2, n_long=n_long)
+    fps = batch / sec
+    print(
+        json.dumps(
+            {
+                "config": name,
+                "batch": batch,
+                "out": f"{ow}x{oh}",
+                "ms_per_batch": round(sec * 1e3, 2),
+                "fps_per_chip": round(fps, 1),
+                "vs_north_star": round(fps / BASELINE_FPS, 3),
+            }
+        ),
+        flush=True,
+    )
+    return fps
+
+
+def run_with_transfer(batch=8):
+    """Flagship config including H2D and D2H transfers (see module note)."""
+    import jax
+
+    from transform360_tpu import TransformConfig, build_plan
+    from transform360_tpu.config import StereoFormat
+    from transform360_tpu.pipeline import transform_planes
+
+    mono = dict(
+        input_stereo_format=StereoFormat.MONO,
+        output_stereo_format=StereoFormat.MONO,
+    )
+    plan = build_plan(TransformConfig(**mono), IN_W, IN_H, 1536, 1024)
+    rng = np.random.default_rng(0)
+    from transform360_tpu import chroma_dims
+
+    cw, ch = chroma_dims(IN_W, IN_H)
+    yh = rng.integers(0, 256, (batch, IN_H, IN_W), dtype=np.uint8)
+    uh = rng.integers(0, 256, (batch, ch, cw), dtype=np.uint8)
+    vh = rng.integers(0, 256, (batch, ch, cw), dtype=np.uint8)
+
+    # warm the compile with one full round trip
+    outs = transform_planes(plan, *(map(np.asarray, (yh, uh, vh))))
+    _ = [np.asarray(o) for o in outs]
+
+    best = float("inf")
+    for k in range(3):
+        yk = yh + np.uint8(k + 1)  # unique inputs defeat dispatch dedup
+        t0 = time.perf_counter()
+        outs = transform_planes(plan, yk, uh, vh)
+        _ = [np.asarray(o) for o in outs]
+        best = min(best, time.perf_counter() - t0)
+    fps = batch / best
+    in_mb = (yh.nbytes + uh.nbytes + vh.nbytes) / 1e6
+    print(
+        json.dumps(
+            {
+                "config": "flagship_with_transfer",
+                "batch": batch,
+                "input_mb": round(in_mb, 1),
+                "seconds_per_batch": round(best, 3),
+                "fps_per_chip_incl_transfer": round(fps, 2),
+                "note": "dev-tunnel transfer (~13 MB/s) dominates; see header",
+            }
+        ),
+        flush=True,
+    )
+
+
+def main():
+    from transform360_tpu.config import Interpolation, StereoFormat
+
+    mono = dict(
+        input_stereo_format=StereoFormat.MONO,
+        output_stereo_format=StereoFormat.MONO,
+    )
+    cases = {
+        # BASELINE config 1: mono bilinear, edge 512
+        "c1_bilinear_512": (
+            dict(interpolation_alg=Interpolation.LINEAR,
+                 enable_low_pass_filter=0, **mono),
+            (1536, 1024), 128,
+        ),
+        # BASELINE config 2: cubic at cube_edge_length=1024
+        "c2_cubic_edge1024": (dict(**mono), (3072, 2048), 128),
+        # BASELINE config 3: adaptive prefilter, 32x15 segments
+        "c3_adaptive_32x15": (
+            dict(num_vertical_segments=32, num_horizontal_segments=15,
+                 adjust_kernel=1, **mono),
+            (1536, 1024), 128,
+        ),
+        # BASELINE config 4: TB / LR stereo
+        "c4_stereo_tb": (
+            dict(input_stereo_format=StereoFormat.TB,
+                 output_stereo_format=StereoFormat.TB),
+            (1536, 1024), 128,
+        ),
+        "c4_stereo_lr": (
+            dict(input_stereo_format=StereoFormat.LR,
+                 output_stereo_format=StereoFormat.LR),
+            (1536, 1024), 128,
+        ),
+        # BASELINE config 5 / flagship: batched 4K stream, default quality
+        "flagship_b128": (dict(**mono), (1536, 1024), 128),
+        # batch-size variants (kernel-path boundaries)
+        "flagship_b64": (dict(**mono), (1536, 1024), 64),
+        "flagship_b32": (dict(**mono), (1536, 1024), 32),
+        "flagship_b8": (dict(**mono), (1536, 1024), 8),
+    }
+
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    selected = set(args) if args else set(cases)
+    for name, (kw, out_wh, batch) in cases.items():
+        if name in selected:
+            run_case(name, kw, out_wh, batch)
+    if "--with-transfer" in sys.argv:
+        run_with_transfer()
+
+
+if __name__ == "__main__":
+    main()

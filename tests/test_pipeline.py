@@ -144,7 +144,7 @@ def test_barrel_full_pipeline(rng):
         enable_low_pass_filter=0,
         **MONO,
     )
-    run_both(cfg, rng, 256, 128, 100, 40, min_db=45.0)
+    run_both(cfg, rng, 256, 128, 100, 40, min_db=50.0)
 
 
 def test_lanczos_full_pipeline(rng):
@@ -312,7 +312,7 @@ def test_barrel_split_full_pipeline(rng):
         enable_low_pass_filter=0,
         **MONO,
     )
-    run_both(cfg, rng, 256, 128, 96, 64, min_db=45.0)
+    run_both(cfg, rng, 256, 128, 96, 64, min_db=50.0)
 
 
 def test_offcenter_horizontal_pipeline(rng):

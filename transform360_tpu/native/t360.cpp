@@ -631,6 +631,14 @@ static inline int wrapi(int v, int n) {
   return v < 0 ? v + n : v;
 }
 
+// BORDER_REFLECT_101 for taps at most n-1 out of range (cv::remap's
+// borderType1 fallback for partially-inside BORDER_TRANSPARENT footprints)
+static inline int reflect101i(int v, int n) {
+  if (v < 0) v = -v;
+  if (v >= n) v = 2 * n - 2 - v;
+  return v;
+}
+
 static void cubicWeights(float f, float* w) {
   const float A = -0.75f;
   w[0] = ((A * (f + 1) - 5 * A) * (f + 1) + 8 * A) * (f + 1) - 4 * A;
@@ -686,8 +694,8 @@ static void remapPlane(const Ctx& c, const PlanePlanN& p, const uint8_t* src,
       }
       int bx = p.baseX[q], by = p.baseY[q];
       if (T == 1) {
-        int xx = p.wrap ? wrapi(bx, W) : std::min(std::max(bx, 0), W - 1);
-        int yy = p.wrap ? wrapi(by, H) : std::min(std::max(by, 0), H - 1);
+        int xx = p.wrap ? wrapi(bx, W) : reflect101i(bx, W);
+        int yy = p.wrap ? wrapi(by, H) : reflect101i(by, H);
         dst[(size_t)i * dstride + j] = src[(size_t)yy * sstride + xx];
         continue;
       }
@@ -705,14 +713,24 @@ static void remapPlane(const Ctx& c, const PlanePlanN& p, const uint8_t* src,
       }
       float acc = 0;
       for (int ty = 0; ty < T; ++ty) {
-        int yy = by + ty;
-        yy = p.wrap ? wrapi(yy, H) : std::min(std::max(yy, 0), H - 1);
+        int yy0 = by + ty;
+        // non-wrap outside taps: fill for linear/cubic (cv::remap adds
+        // the pre-filled dst value), REFLECT_101 for lanczos4
+        bool yin = yy0 >= 0 && yy0 < H;
+        int yy = p.wrap ? wrapi(yy0, H)
+                        : (T == 8 ? reflect101i(yy0, H)
+                                  : std::min(std::max(yy0, 0), H - 1));
         const uint8_t* row = src + (size_t)yy * sstride;
         float racc = 0;
         for (int tx = 0; tx < T; ++tx) {
-          int xx = bx + tx;
-          xx = p.wrap ? wrapi(xx, W) : std::min(std::max(xx, 0), W - 1);
-          racc += wx[tx] * row[xx];
+          int xx0 = bx + tx;
+          bool xin = xx0 >= 0 && xx0 < W;
+          int xx = p.wrap ? wrapi(xx0, W)
+                          : (T == 8 ? reflect101i(xx0, W)
+                                    : std::min(std::max(xx0, 0), W - 1));
+          float v = row[xx];
+          if (!p.wrap && T != 8 && !(xin && yin)) v = (float)fill;
+          racc += wx[tx] * v;
         }
         acc += wy[ty] * racc;
       }
@@ -842,18 +860,33 @@ static bool generateMap(Engine* e, int inW, int inH, int outW, int outH,
       size_t q = (size_t)i * p.scaledW + j;
       if (barrel) p.valid[q] = mx > -1.0 ? 1 : 0;
       if (p.taps == 1) {
-        p.baseX[q] = (int32_t)std::nearbyint(mx);
-        p.baseY[q] = (int32_t)std::nearbyint(my);
+        int32_t rx = (int32_t)std::nearbyint(mx);
+        int32_t ry = (int32_t)std::nearbyint(my);
+        p.baseX[q] = rx;
+        p.baseY[q] = ry;
         p.fracX[q] = p.fracY[q] = 0;
+        // BORDER_TRANSPARENT skip: untouched unless the rounded coord is
+        // inside (remapNearest)
+        if (barrel && (rx < 0 || rx > inW - 1 || ry < 0 || ry > inH - 1))
+          p.valid[q] = 0;
       } else {
         // half-to-even like cvRound/np.rint so the 1/32 quantization
         // matches the Python plan and the OpenCV oracle bit-for-bit
         long sx = (long)std::nearbyint(mx * 32.0);
         long sy = (long)std::nearbyint(my * 32.0);
-        p.baseX[q] = (int32_t)((sx >> 5) + p.firstTap);
-        p.baseY[q] = (int32_t)((sy >> 5) + p.firstTap);
+        long fx = sx >> 5, fy = sy >> 5;  // anchor (floor) coords
+        p.baseX[q] = (int32_t)(fx + p.firstTap);
+        p.baseY[q] = (int32_t)(fy + p.firstTap);
         p.fracX[q] = (sx & 31) / 32.0f;
         p.fracY[q] = (sy & 31) / 32.0f;
+        if (barrel) {
+          // BORDER_TRANSPARENT skip (measured against cv::remap, see
+          // docs/parity.md): linear/cubic touch when floor is in
+          // [-1, n-1] (any footprint overlap); lanczos4 needs [0, n-1]
+          int lo = p.taps == 8 ? 0 : -1;
+          if (fx < lo || fx > inW - 1 || fy < lo || fy > inH - 1)
+            p.valid[q] = 0;
+        }
       }
     }
   }

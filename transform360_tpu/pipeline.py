@@ -46,6 +46,8 @@ from . import sampling
 from .sampling import (
     apply_area_resize,
     const_budget_bytes,
+    fixup_values,
+    partial_fixup,
     remap_const,
     remap_traced,
 )
@@ -79,6 +81,17 @@ def _blur_lane_plan(pp: PlanePlan):
     return bl
 
 
+def _fixup(pp: PlanePlan):
+    """BORDER_TRANSPARENT partial-footprint correction set for the kernel
+    backends (see sampling.partial_fixup), cached by plan identity."""
+    key = ("fixup", pp.key)
+    f = _LANE_CACHE.get(key, _LANE_MISS)
+    if f is _LANE_MISS:
+        f = partial_fixup(pp.spec, float(pp.fill))
+        _LANE_CACHE[key] = f
+    return f
+
+
 def _lane_chunked(pp: PlanePlan, lane, x, interpret):
     """Full lane-layout plane program for uint8 [B, H, W]: one transpose
     into [H, W, 128] per 128-frame chunk, blur (when the lane blur covers
@@ -87,6 +100,7 @@ def _lane_chunked(pp: PlanePlan, lane, x, interpret):
     if pp.blur is not None and bl is None:
         # prefilter config outside the lane blur's scope: XLA blur first
         x = _round_u8(apply_blur(pp.blur, x.astype(jnp.float32)))
+    fix = _fixup(pp)
     B = x.shape[0]
     outs = []
     for k in range(0, B, 128):
@@ -99,7 +113,20 @@ def _lane_chunked(pp: PlanePlan, lane, x, interpret):
         ct = jnp.transpose(c, (1, 2, 0))
         if bl is not None:
             ct = blur_lane(bl, ct, interpret=interpret)
-        outs.append(remap_lane_hwb(lane, ct, interpret=interpret))
+        o = remap_lane_hwb(lane, ct, interpret=interpret)
+        if fix is not None:
+            # exact BORDER_TRANSPARENT partial footprints (lane layout:
+            # gather taps along the flattened [H*W] leading axis)
+            pos, idx, w, a = fix
+            acc = jnp.asarray(a)[:, None]
+            ct_flat = ct.reshape(-1, 128)
+            for t in range(idx.shape[0]):
+                g = jnp.take(ct_flat, jnp.asarray(idx[t]), axis=0)
+                acc = acc + jnp.asarray(w[t])[:, None] * g.astype(jnp.float32)
+            vals = _round_u8(acc).T  # [128, P]
+            of = o.reshape(o.shape[0], -1)
+            o = of.at[:, jnp.asarray(pos)].set(vals).reshape(o.shape)
+        outs.append(o)
     out = jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
     return out[:B]
 
@@ -132,6 +159,15 @@ def _plane_program(pp: PlanePlan, use_pallas: bool, interpret: bool = False):
                 x = _round_u8(apply_blur(pp.blur, x.astype(jnp.float32)))
             if use_pallas:
                 out = remap_pallas(pp.pallas, x, interpret=interpret)
+                fix = _fixup(pp)
+                if fix is not None:
+                    vals = fixup_values(fix, x.reshape(x.shape[0], -1))
+                    of = out.reshape(out.shape[0], -1)
+                    out = (
+                        of.at[:, jnp.asarray(fix[0])]
+                        .set(_round_u8(vals))
+                        .reshape(out.shape)
+                    )
             else:
                 flat = x.reshape(x.shape[0], -1)
                 if const_budget_bytes(spec) > sampling.MAX_CONST_BYTES:

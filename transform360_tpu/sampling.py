@@ -113,6 +113,21 @@ def make_sample_spec(
         frac_x = ((sx & (INTER_TAB_SIZE - 1)) / INTER_TAB_SIZE).astype(np.float32)
         frac_y = ((sy & (INTER_TAB_SIZE - 1)) / INTER_TAB_SIZE).astype(np.float32)
 
+    if not wrap:
+        # BORDER_TRANSPARENT skip parity (measured against cv::remap; see
+        # docs/parity.md): the destination pixel keeps its pre-fill unless
+        # the anchor is in range — nearest: rounded coord in [0, n-1];
+        # linear/cubic: floor in [-1, n-1] (any footprint overlap);
+        # lanczos4: floor in [0, n-1].  base_* here is the anchor.
+        lo = -1 if interp in (Interpolation.LINEAR, Interpolation.CUBIC) else 0
+        valid = (
+            valid
+            & (base_x >= lo)
+            & (base_x <= in_w - 1)
+            & (base_y >= lo)
+            & (base_y <= in_h - 1)
+        )
+
     first = _FIRST_TAP[interp]
     base_x = base_x + first
     base_y = base_y + first
@@ -139,6 +154,15 @@ def make_sample_spec(
         interp=interp,
         wrap=wrap,
     )
+
+
+def reflect101(idx, n: int, xp=np):
+    """OpenCV ``borderInterpolate(..., BORDER_REFLECT_101)`` for indices at
+    most n-1 out of range (true for all tap offsets here): -1 -> 1,
+    n -> n-2.  This is how cv::remap resolves the outer taps of partially-
+    inside footprints under BORDER_TRANSPARENT (borderType1 fallback)."""
+    idx = xp.abs(idx)
+    return xp.where(idx >= n, 2 * n - 2 - idx, idx)
 
 
 # ---------------------------------------------------------------------------
@@ -213,12 +237,19 @@ def _tap_weights(interp: Interpolation, f, xp=jnp):
 def tap_arrays(spec: SampleSpec):
     """Plan-time (numpy) per-tap flat indices and combined weights.
 
-    Returns ``(idx_list, weight_list, valid_flat)``:
+    Returns ``(idx_list, weight_list, valid_flat, add)``:
     ``idx_list[t]``: int32 [N] flat index into the [H*W] plane, fully
-    border-resolved (wrap modulo or clamp); ``weight_list[t]``: float32 [N]
-    combined ``wy*wx`` tap weight (None for NEAREST); ``valid_flat``: bool
-    [N] transparent-border mask or None.  These become XLA literals in the
-    plan-specialized executor — the key to the fast gather path.
+    border-resolved; ``weight_list[t]``: float32 [N] combined ``wy*wx``
+    tap weight (None for NEAREST); ``valid_flat``: bool [N] transparent-
+    border mask or None; ``add``: float32 [N] additive term or None.
+
+    Non-wrap border semantics (measured against cv::remap with
+    BORDER_TRANSPARENT on a pre-filled destination, the reference's setup
+    — VideoFrameTransform.cpp:743-762): linear/cubic taps that fall
+    outside the source contribute the *fill* value (weight zeroed, fill
+    moved into ``add``); lanczos4 resolves outside taps via
+    BORDER_REFLECT_101.  These become XLA literals in the plan-
+    specialized executor — the key to the fast gather path.
     """
     H, W = spec.in_h, spec.in_w
     T = _TAPS[spec.interp]
@@ -226,20 +257,43 @@ def tap_arrays(spec: SampleSpec):
     bx = spec.base_x.astype(np.int64).reshape(-1)
     wy = _tap_weights(spec.interp, spec.frac_y.reshape(-1).astype(np.float64), np)
     wx = _tap_weights(spec.interp, spec.frac_x.reshape(-1).astype(np.float64), np)
+    fill_w = None  # accumulated outside-tap weight (fill applied by caller)
+    lanczos = spec.interp == Interpolation.LANCZOS4
     idx_list, weight_list = [], []
     for ty in range(T):
         yy = by + ty
-        yy = np.mod(yy, H) if spec.wrap else np.clip(yy, 0, H - 1)
+        if spec.wrap:
+            yy_r = np.mod(yy, H)
+        elif lanczos:
+            yy_r = reflect101(yy, H)
+        else:
+            yy_r = np.clip(yy, 0, H - 1)
         for tx in range(T):
             xx = bx + tx
-            xx = np.mod(xx, W) if spec.wrap else np.clip(xx, 0, W - 1)
-            idx_list.append((yy * W + xx).astype(np.int32))
+            if spec.wrap:
+                xx_r = np.mod(xx, W)
+            elif lanczos:
+                xx_r = reflect101(xx, W)
+            else:
+                xx_r = np.clip(xx, 0, W - 1)
+            idx_list.append((yy_r * W + xx_r).astype(np.int32))
             if spec.interp == Interpolation.NEAREST:
                 weight_list = None
             else:
-                weight_list.append((wy[ty] * wx[tx]).astype(np.float32))
+                w = (wy[ty] * wx[tx]).astype(np.float32)
+                if not spec.wrap and not lanczos:
+                    outside = (yy < 0) | (yy >= H) | (xx < 0) | (xx >= W)
+                    if outside.any():
+                        fill_w = (
+                            w * outside
+                            if fill_w is None
+                            else fill_w + w * outside
+                        )
+                        w = np.where(outside, np.float32(0), w)
+                weight_list.append(w)
     valid = None if spec.valid is None else spec.valid.reshape(-1)
-    return idx_list, weight_list, valid
+    add = None if fill_w is None else fill_w.astype(np.float32)
+    return idx_list, weight_list, valid, add
 
 
 def const_budget_bytes(spec: SampleSpec) -> int:
@@ -248,6 +302,48 @@ def const_budget_bytes(spec: SampleSpec) -> int:
     t2 = _TAPS[spec.interp] ** 2
     per_tap = 4 + (0 if spec.interp == Interpolation.NEAREST else 4)
     return n * t2 * per_tap
+
+
+def partial_fixup(spec: SampleSpec, fill: float):
+    """Correction set for kernel backends whose gather windows clamp
+    outside taps: the (few) valid output pixels whose footprint is not
+    fully inside the source need the exact BORDER_TRANSPARENT semantics
+    (outside taps = fill for linear/cubic, REFLECT_101 for lanczos4 —
+    see tap_arrays).  Returns ``(pos, idx, w, add)`` — flat output
+    positions [P], border-resolved tap indices [T², P], weights [T², P]
+    (outside taps zeroed for linear/cubic), additive fill term [P] — or
+    None when nothing needs fixing."""
+    if spec.wrap or spec.valid is None or spec.interp == Interpolation.NEAREST:
+        return None
+    T = _TAPS[spec.interp]
+    H, W = spec.in_h, spec.in_w
+    by = spec.base_y.astype(np.int64).reshape(-1)
+    bx = spec.base_x.astype(np.int64).reshape(-1)
+    inside = (by >= 0) & (by + T <= H) & (bx >= 0) & (bx + T <= W)
+    pos = np.nonzero(spec.valid.reshape(-1) & ~inside)[0].astype(np.int32)
+    if pos.size == 0:
+        return None
+    idx_list, weight_list, _, add = tap_arrays(spec)
+    idx = np.stack([i[pos] for i in idx_list])
+    w = np.stack([wl[pos] for wl in weight_list])
+    a = (
+        (add[pos] * np.float32(fill)).astype(np.float32)
+        if add is not None
+        else np.zeros(pos.size, np.float32)
+    )
+    return pos, idx, w, a
+
+
+def fixup_values(fix, flat_u8: jnp.ndarray) -> jnp.ndarray:
+    """Exact f32 values [B, P] for the partial-footprint pixels;
+    ``flat_u8`` [B, H*W] must be the same (blurred) plane the remap
+    consumed.  All fix arrays are tiny plan constants."""
+    pos, idx, w, a = fix
+    acc = jnp.asarray(a)[None, :]
+    for t in range(idx.shape[0]):
+        g = jnp.take(flat_u8, jnp.asarray(idx[t]), axis=1).astype(jnp.float32)
+        acc = acc + jnp.asarray(w[t])[None, :] * g
+    return acc
 
 
 # Above this, fall back to traced indices instead of embedding literals
@@ -265,12 +361,14 @@ def remap_const(spec: SampleSpec, flat_u8: jnp.ndarray, fill: float) -> jnp.ndar
     uses the same spec.  This path serves CPU execution, tiny planes, and
     cross-checking.
     """
-    idx_list, weight_list, valid = tap_arrays(spec)
+    idx_list, weight_list, valid, add = tap_arrays(spec)
     acc = None
     for t, idx in enumerate(idx_list):
         g = jnp.take(flat_u8, jnp.asarray(idx), axis=1).astype(jnp.float32)
         term = g if weight_list is None else jnp.asarray(weight_list[t])[None, :] * g
         acc = term if acc is None else acc + term
+    if add is not None:
+        acc = acc + (jnp.asarray(add) * jnp.float32(fill))[None, :]
     if valid is not None:
         acc = jnp.where(jnp.asarray(valid)[None, :], acc, jnp.float32(fill))
     return acc
@@ -294,6 +392,7 @@ def remap_traced(
     """
     H, W = spec.in_h, spec.in_w
     T = _TAPS[spec.interp]
+    lanczos = spec.interp == Interpolation.LANCZOS4
     wy = _tap_weights(spec.interp, frac_y.reshape(-1))
     wx = _tap_weights(spec.interp, frac_x.reshape(-1))
     by = base_y.reshape(-1)
@@ -301,16 +400,31 @@ def remap_traced(
     acc = None
     for ty in range(T):
         yy = by + ty
-        yy = jnp.where(yy >= H, yy - H, yy) if spec.wrap else jnp.clip(yy, 0, H - 1)
-        row = yy * W
+        if spec.wrap:
+            yy_r = jnp.where(yy >= H, yy - H, yy)
+        elif lanczos:
+            yy_r = reflect101(yy, H, jnp)
+        else:
+            yy_r = jnp.clip(yy, 0, H - 1)
+        row = yy_r * W
         for tx in range(T):
             xx = bx + tx
-            xx = jnp.where(xx >= W, xx - W, xx) if spec.wrap else jnp.clip(xx, 0, W - 1)
-            g = jnp.take(flat_u8, row + xx, axis=1).astype(jnp.float32)
+            if spec.wrap:
+                xx_r = jnp.where(xx >= W, xx - W, xx)
+            elif lanczos:
+                xx_r = reflect101(xx, W, jnp)
+            else:
+                xx_r = jnp.clip(xx, 0, W - 1)
+            g = jnp.take(flat_u8, row + xx_r, axis=1).astype(jnp.float32)
             if spec.interp == Interpolation.NEAREST:
                 term = g
             else:
-                term = (wy[ty] * wx[tx])[None, :] * g
+                w = wy[ty] * wx[tx]
+                if not spec.wrap and not lanczos:
+                    # outside taps contribute the fill (see tap_arrays)
+                    outside = (yy < 0) | (yy >= H) | (xx < 0) | (xx >= W)
+                    g = jnp.where(outside[None, :], jnp.float32(fill), g)
+                term = w[None, :] * g
             acc = term if acc is None else acc + term
     if valid is not None:
         acc = jnp.where(valid.reshape(-1)[None, :], acc, jnp.float32(fill))

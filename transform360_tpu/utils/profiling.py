@@ -72,6 +72,56 @@ def time_jitted(
     return max(tl - ts, 1e-9) / (n_long - n_short)
 
 
+def time_frame_step(
+    plan,
+    y,
+    u,
+    v,
+    n_short: int = 2,
+    n_long: int = 26,
+    repeats: int = 3,
+) -> float:
+    """Steady-state seconds per full-frame step (3 planes) on device.
+
+    Same chain-difference methodology as :func:`time_jitted`, specialized
+    to the plane executors: the whole N-step chain runs inside ONE jitted
+    program, each step consuming the previous outputs (dedup-proof), with
+    plan constants passed as runtime arguments (staged)."""
+    import numpy as np
+
+    from ..pipeline import plane_executor
+
+    lfn, _, lc = plane_executor(plan.luma).staged_for(y)
+    cfn, _, cc = plane_executor(plan.chroma).staged_for(u)
+
+    def make(n):
+        @jax.jit
+        def chain(y, u, v, lc, cc):
+            for _ in range(n):
+                oy, ou, ov = lfn(y, lc), cfn(u, cc), cfn(v, cc)
+                # chain on ALL outputs (an unused plane would be DCE'd)
+                d = oy[0, 0, 0] + ou[0, 0, 0] + ov[0, 0, 0]
+                y = y + d
+                u = u + d
+                v = v + d
+            return y, u, v
+
+        return chain
+
+    cs, cl = make(n_short), make(n_long)
+    jax.block_until_ready(cs(y, u, v, lc, cc))
+    jax.block_until_ready(cl(y, u, v, lc, cc))
+
+    def run(chain, k):
+        t0 = time.perf_counter()
+        jax.block_until_ready(chain(y + np.uint8(k), u, v, lc, cc))
+        return time.perf_counter() - t0
+
+    ts = min(run(cs, k) for k in range(1, repeats + 1))
+    tl = min(run(cl, k) for k in range(repeats + 1, 2 * repeats + 1))
+    return max(tl - ts, 1e-9) / (n_long - n_short)
+
+
 class StageStats:
     """Structured per-batch throughput logging (metrics/observability
     analog; the reference has none — SURVEY §5)."""
