@@ -152,15 +152,19 @@ def main():
         # batch-size variants (kernel-path boundaries)
         "flagship_b64": (dict(**mono), (1536, 1024), 64),
         "flagship_b32": (dict(**mono), (1536, 1024), 32),
+        "flagship_b16": (dict(**mono), (1536, 1024), 16),
         "flagship_b8": (dict(**mono), (1536, 1024), 8),
     }
 
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    selected = set(args) if args else set(cases)
+    with_transfer = "--with-transfer" in sys.argv
+    # bare `--with-transfer` means ONLY the transfer case; named cases (or
+    # no flags at all) select from the sweep table.
+    selected = set(args) if args else (set() if with_transfer else set(cases))
     for name, (kw, out_wh, batch) in cases.items():
         if name in selected:
             run_case(name, kw, out_wh, batch)
-    if "--with-transfer" in sys.argv:
+    if with_transfer:
         run_with_transfer()
 
 

@@ -54,9 +54,13 @@ from .sampling import (
 
 # Batch size at or above which the lane-batched kernel (batch in vector
 # lanes, ~16x the window-gather kernel's per-frame rate at batch 128) is
-# preferred.  Below it, lane padding to 128 wastes too much of the vector
-# unit and the window-gather kernel wins.
-LANE_MIN_BATCH = int(os.environ.get("TRANSFORM360_LANE_MIN_BATCH", "32"))
+# preferred.  A lane pass costs ~126 ms for the flagship plan regardless
+# of how many of the 128 lanes are real frames (the minor dim is
+# hardware-padded either way), while the window-gather path costs
+# ~104 ms per 8-frame chunk — so the measured crossover is batch 9:
+# at 8 the single window-gather chunk wins (77 vs 64 fps), at 9+ one
+# padded lane pass beats two chunks (e.g. 127 vs ~77 fps at batch 16).
+LANE_MIN_BATCH = int(os.environ.get("TRANSFORM360_LANE_MIN_BATCH", "9"))
 
 _LANE_CACHE: Dict[str, object] = {}
 _LANE_MISS = object()
