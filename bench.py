@@ -17,6 +17,10 @@ import numpy as np
 def main():
     import jax
 
+    from transform360_tpu.utils.backend import ensure_device
+
+    ensure_device()
+
     from transform360_tpu import TransformConfig, build_plan, chroma_dims
     from transform360_tpu.config import Interpolation, StereoFormat
     from transform360_tpu.pipeline import device_put_plan

@@ -116,6 +116,9 @@ def run_with_transfer(batch=8):
 
 def main():
     from transform360_tpu.config import Interpolation, StereoFormat
+    from transform360_tpu.utils.backend import ensure_device
+
+    ensure_device()
 
     mono = dict(
         input_stereo_format=StereoFormat.MONO,

@@ -57,14 +57,22 @@ def time_jitted(
 
         return chain
 
+    # Materialize a scalar from every result: on tunneled backends
+    # block_until_ready can return before deferred compilation/execution
+    # has actually happened, so a host read is the only reliable fence.
+    # The read cost (one RTT) is identical for both chain lengths and
+    # cancels in the difference.
+    def fence(r):
+        return float(jnp.asarray(r).reshape(-1)[0])
+
     cs, cl = make(n_short), make(n_long)
-    jax.block_until_ready(cs(x, consts))
-    jax.block_until_ready(cl(x, consts))
+    fence(cs(x, consts))
+    fence(cl(x, consts))
 
     def run(c, k):
         xi = x + x.dtype.type(k)
         t0 = time.perf_counter()
-        jax.block_until_ready(c(xi, consts))
+        fence(c(xi, consts))
         return time.perf_counter() - t0
 
     ts = min(run(cs, k) for k in range(1, repeats + 1))
@@ -108,13 +116,18 @@ def time_frame_step(
 
         return chain
 
+    # host-read fence: see time_jitted (block_until_ready alone is not a
+    # reliable completion fence on tunneled backends)
+    def fence(r):
+        return float(jnp.asarray(r[0]).reshape(-1)[0])
+
     cs, cl = make(n_short), make(n_long)
-    jax.block_until_ready(cs(y, u, v, lc, cc))
-    jax.block_until_ready(cl(y, u, v, lc, cc))
+    fence(cs(y, u, v, lc, cc))
+    fence(cl(y, u, v, lc, cc))
 
     def run(chain, k):
         t0 = time.perf_counter()
-        jax.block_until_ready(chain(y + np.uint8(k), u, v, lc, cc))
+        fence(chain(y + np.uint8(k), u, v, lc, cc))
         return time.perf_counter() - t0
 
     ts = min(run(cs, k) for k in range(1, repeats + 1))
