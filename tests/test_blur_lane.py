@@ -96,9 +96,10 @@ def test_blur_lane_stereo_lr(rng):
     _check_vs_xla(rng, plan.luma.blur, 80, 512)
 
 
-def test_blur_lane_scope_gates():
+def test_blur_lane_per_column_taps(rng):
     """Per-column tap variation (off-center + adjust_kernel + several
-    horizontal segments) stays on the XLA path."""
+    horizontal segments) is covered since the MXU rewrite: blur-segment
+    boundaries inside a kernel tile become separate masked work items."""
     cfg = TransformConfig(
         interpolation_alg=Interpolation.CUBIC,
         num_horizontal_segments=3,
@@ -107,7 +108,16 @@ def test_blur_lane_scope_gates():
         **MONO,
     )
     plan = build_plan(cfg, 256, 80, 96, 64)
-    assert build_blur_lane(plan.luma.blur, 80, 256) is None
+    _check_vs_xla(rng, plan.luma.blur, 80, 256)
+
+
+def test_blur_lane_scope_gates():
+    """Plans the kernel cannot cover fall back to the XLA path: a plane
+    height that is not a multiple of the 8-row tile."""
+    cfg = TransformConfig(interpolation_alg=Interpolation.CUBIC, **MONO)
+    plan = build_plan(cfg, 256, 84, 96, 64)
+    assert plan.luma.blur is not None
+    assert build_blur_lane(plan.luma.blur, 84, 256) is None
 
 
 def test_pipeline_lane_path_e2e(rng, monkeypatch):
