@@ -1,6 +1,8 @@
 """Lane-batched prefilter kernel: interpret-mode validation vs the XLA
 blur path (same taps, same non-isolated cross-seam border semantics)."""
 
+import dataclasses
+
 import numpy as np
 
 import jax.numpy as jnp
@@ -17,9 +19,14 @@ MONO = dict(
 )
 
 
-def _check_vs_xla(rng, bp, h, w, max_wrong_frac=0.005):
+def _check_vs_xla(rng, bp, h, w, max_wrong_frac=0.005, precision="high"):
     bl = build_blur_lane(bp, h, w)
     assert bl is not None, "expected lane blur coverage for this config"
+    # pin the matmul precision: the strict <=1-LSB contract below holds for
+    # the bf16x3 split (~2^-16); the shipping "default" single-bf16-dot
+    # mode is validated separately (looser bound here, real-chip PSNR for
+    # the 50 dB contract)
+    bl = dataclasses.replace(bl, precision=precision)
     x = rng.integers(0, 256, (h, w, 128), dtype=np.uint8)
     got = np.asarray(blur_lane(bl, jnp.asarray(x), interpret=True))
     want = _round_u8(
@@ -111,6 +118,30 @@ def test_blur_lane_per_column_taps(rng):
     _check_vs_xla(rng, plan.luma.blur, 80, 256)
 
 
+def test_blur_lane_default_precision(rng):
+    """The shipping "default" mode (single bf16 x-dot) stays within the
+    bf16 tap-rounding envelope of the f32 XLA path: ~0.5 LSB worst, so at
+    most 2 LSB after independent rounding, and only near rounding ties.
+    The 50 dB output contract for this mode is checked on the real chip
+    (tools/psnr_check.py: 58.8 dB worst, identical to "high")."""
+    cfg = TransformConfig(interpolation_alg=Interpolation.CUBIC, **MONO)
+    plan = build_plan(cfg, 256, 80, 96, 64)
+    bl = build_blur_lane(plan.luma.blur, 80, 256)
+    assert bl.precision == "default"
+    x = rng.integers(0, 256, (80, 256, 128), dtype=np.uint8)
+    got = np.asarray(blur_lane(bl, jnp.asarray(x), interpret=True))
+    want = _round_u8(
+        apply_blur(
+            plan.luma.blur,
+            jnp.transpose(jnp.asarray(x), (2, 0, 1)).astype(jnp.float32),
+        )
+    )
+    want = np.asarray(jnp.transpose(want, (1, 2, 0)))
+    diff = np.abs(got.astype(int) - want.astype(int))
+    assert diff.max() <= 2, f"max diff {diff.max()}"
+    assert (diff > 1).mean() < 0.001
+
+
 def test_blur_lane_scope_gates():
     """Plans the kernel cannot cover fall back to the XLA path: a plane
     height that is not a multiple of the 8-row tile."""
@@ -122,8 +153,14 @@ def test_blur_lane_scope_gates():
 
 def test_pipeline_lane_path_e2e(rng, monkeypatch):
     """Batched pipeline output (lane path, interpret) must match the
-    XLA-path output on the same frames."""
+    XLA-path output on the same frames.  Pinned to the bf16x3 blur mode:
+    this test checks integration (layout, chunking, blur->remap), and the
+    strict <=1-LSB bound only holds there; the shipping "default" mode is
+    covered by test_blur_lane_default_precision + real-chip PSNR."""
     import transform360_tpu.pipeline as pl
+
+    monkeypatch.setenv("TRANSFORM360_BLUR_PRECISION", "high")
+    monkeypatch.setattr(pl, "_LANE_CACHE", {})
 
     cfg = TransformConfig(interpolation_alg=Interpolation.CUBIC, **MONO)
     plan = build_plan(cfg, 256, 80, 96, 64)

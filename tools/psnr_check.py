@@ -56,6 +56,9 @@ def main():
     ]
     if len(sys.argv) > 1:
         keep = set(sys.argv[1].split(","))
+        unknown = keep - {c[0] for c in cases}
+        if unknown:
+            raise SystemExit(f"unknown config name(s): {sorted(unknown)}")
         cases = [c for c in cases if c[0] in keep]
 
     results = {}
