@@ -129,3 +129,29 @@ def test_native_backend_via_api(rng):
     yb, ub, vb = (np.stack([p, p]) for p in (y, u, v))
     ob = tn.transform(yb, ub, vb)
     np.testing.assert_array_equal(ob[0][0], b[0])
+
+
+def test_native_frame_pool_matches_per_frame(rng):
+    """The frame-pool runner (batch across worker threads, inner segment
+    threading disabled) must produce byte-identical output to the
+    per-frame path for every frame."""
+    cfg = TransformConfig(**MONO)  # cubic + prefilter (exercises blur)
+    b, h, w = 5, 128, 256
+    out_w, out_h = 96, 64
+    ys = np.stack([make_yuv(rng, h, w)[0] for _ in range(b)])
+    cw, ch = chroma_dims(w, h)
+    us = np.stack([make_yuv(rng, h, w)[1] for _ in range(b)])
+    vs = np.stack([make_yuv(rng, h, w)[2] for _ in range(b)])
+
+    t = native.NativeTransform(cfg)
+    oy, ou, ov = t.transform_frames(ys, us, vs, out_w, out_h)
+    assert oy.shape == (b, out_h, out_w)
+    c_out_w, c_out_h = chroma_dims(out_w, out_h)
+    assert ou.shape == (b, c_out_h, c_out_w)
+
+    t1 = native.NativeTransform(cfg)
+    for i in range(b):
+        sy, su, sv = t1.transform_frame(ys[i], us[i], vs[i], out_w, out_h)
+        assert np.array_equal(oy[i], sy), f"frame {i} Y differs"
+        assert np.array_equal(ou[i], su), f"frame {i} U differs"
+        assert np.array_equal(ov[i], sv), f"frame {i} V differs"

@@ -111,6 +111,12 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p,
             ctypes.c_void_p,
         ] + [ctypes.c_int] * 8
+        lib.T360_transformFramesPlane.restype = ctypes.c_int
+        lib.T360_transformFramesPlane.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+        ] + [ctypes.c_int] * 10
         lib.T360_exportWarpMap.restype = ctypes.c_int
         lib.T360_exportWarpMap.argtypes = [
             ctypes.c_void_p,
@@ -198,6 +204,56 @@ class NativeTransform:
         if not ok:
             raise ValueError("T360_transformFramePlane failed")
         return out
+
+    def transform_frames_plane(
+        self,
+        planes: np.ndarray,
+        out_w: int,
+        out_h: int,
+        plane_idx: int,
+        image_plane_idx: int,
+        n_threads: int = 0,
+    ) -> np.ndarray:
+        """Frame-pool runner: uint8 [B, H, W] -> [B, out_h, out_w].
+
+        Frame-level parallelism across a worker pool (the CPU analog of
+        the TPU path's batch axis); ``n_threads <= 0`` uses hardware
+        concurrency.  Maps must have been generated for ``plane_idx``."""
+        planes = np.ascontiguousarray(planes, np.uint8)
+        b, in_h, in_w = planes.shape
+        out = np.empty((b, out_h, out_w), np.uint8)
+        done = self._lib.T360_transformFramesPlane(
+            self._h,
+            planes.ctypes.data_as(ctypes.c_void_p),
+            out.ctypes.data_as(ctypes.c_void_p),
+            b,
+            in_w,
+            in_h,
+            in_w,
+            out_w,
+            out_h,
+            out_w,
+            plane_idx,
+            image_plane_idx,
+            n_threads,
+        )
+        if done != b:
+            raise ValueError(f"frame pool transformed {done}/{b} frames")
+        return out
+
+    def transform_frames(
+        self, y: np.ndarray, u: np.ndarray, v: np.ndarray, out_w: int, out_h: int
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Batched YUV420 frames: uint8 [B, ...] per plane, frame pool."""
+        _, in_h, in_w = y.shape
+        c_in_w, c_in_h = chroma_dims(in_w, in_h)
+        c_out_w, c_out_h = chroma_dims(out_w, out_h)
+        self.generate_map_for_plane(in_w, in_h, out_w, out_h, 0)
+        self.generate_map_for_plane(c_in_w, c_in_h, c_out_w, c_out_h, 1)
+        oy = self.transform_frames_plane(y, out_w, out_h, 0, 0)
+        ou = self.transform_frames_plane(u, c_out_w, c_out_h, 1, 1)
+        ov = self.transform_frames_plane(v, c_out_w, c_out_h, 1, 2)
+        return oy, ou, ov
 
     def export_warp_map(self, plane_idx: int) -> np.ndarray:
         """Quantized warp map [H', W', 2] for cross-validation."""

@@ -900,7 +900,7 @@ static bool generateMap(Engine* e, int inW, int inH, int outW, int outH,
 
 static void runFiltering(const Ctx& c, const PlanePlanN& p, const uint8_t* src,
                          int sstride, uint8_t* dst, int dstride, int W,
-                         int H) {
+                         int H, bool allowThreads = true) {
   struct Job {
     int left, top;
     const Segment* s;
@@ -922,7 +922,7 @@ static void runFiltering(const Ctx& c, const PlanePlanN& p, const uint8_t* src,
   // rows/cols for odd stereo dims stay zero)
   for (int i = 0; i < H; ++i) std::memset(dst + (size_t)i * dstride, 0, W);
 
-  if (c.enable_multi_threading && jobs.size() > 1) {
+  if (allowThreads && c.enable_multi_threading && jobs.size() > 1) {
     unsigned nthreads =
         std::min<unsigned>(std::thread::hardware_concurrency(),
                            (unsigned)jobs.size());
@@ -952,7 +952,8 @@ static void runFiltering(const Ctx& c, const PlanePlanN& p, const uint8_t* src,
 static bool transformFramePlane(Engine* e, const uint8_t* in, uint8_t* out,
                                 int inW, int inH, int inStride, int outW,
                                 int outH, int outStride, int planeIdx,
-                                int imagePlaneIdx) {
+                                int imagePlaneIdx,
+                                bool allowInnerThreads = true) {
   auto it = e->plans.find(planeIdx);
   if (it == e->plans.end()) return false;
   const PlanePlanN& p = it->second;
@@ -966,7 +967,8 @@ static bool transformFramePlane(Engine* e, const uint8_t* in, uint8_t* out,
   int sstride = inStride;
   if (c.enable_low_pass_filter && !p.segs.empty()) {
     blurred.resize((size_t)inW * inH);
-    runFiltering(c, p, in, inStride, blurred.data(), inW, inW, inH);
+    runFiltering(c, p, in, inStride, blurred.data(), inW, inW, inH,
+                 allowInnerThreads);
     src = blurred.data();
     sstride = inW;
   }
@@ -1016,6 +1018,48 @@ int T360_transformFramePlane(void* h, const uint8_t* in, uint8_t* out,
                              imagePlaneIdx)
              ? 1
              : 0;
+}
+
+// Frame-pool runner: transforms a contiguous batch of frames for one
+// plane class across a worker pool — frame-level parallelism, the CPU
+// analog of the TPU path's batch axis (the reference only parallelizes
+// within one frame's prefilter, VideoFrameTransform.cpp:592-604).  Inner
+// per-segment threading is disabled inside workers: one frame per worker
+// keeps caches warm and avoids nested pools.  in/out are frame-major
+// (frame i at in + i*inH*inStride / out + i*outH*outStride).  nThreads
+// <= 0 means hardware concurrency.  Returns the number of frames
+// transformed successfully (== nFrames on success).
+int T360_transformFramesPlane(void* h, const uint8_t* in, uint8_t* out,
+                              int nFrames, int inW, int inH, int inStride,
+                              int outW, int outH, int outStride,
+                              int planeIdx, int imagePlaneIdx,
+                              int nThreads) {
+  Engine* e = static_cast<Engine*>(h);
+  if (nFrames <= 0) return 0;
+  unsigned hw = std::thread::hardware_concurrency();
+  unsigned nt = nThreads > 0 ? (unsigned)nThreads : (hw ? hw : 1);
+  nt = std::min<unsigned>(nt, (unsigned)nFrames);
+  std::atomic<size_t> next{0};
+  std::atomic<int> ok{0};
+  auto worker = [&]() {
+    size_t k;
+    while ((k = next.fetch_add(1)) < (size_t)nFrames) {
+      const uint8_t* src = in + k * (size_t)inH * inStride;
+      uint8_t* dst = out + k * (size_t)outH * outStride;
+      if (transformFramePlane(e, src, dst, inW, inH, inStride, outW, outH,
+                              outStride, planeIdx, imagePlaneIdx,
+                              /*allowInnerThreads=*/nt == 1))
+        ok.fetch_add(1);
+    }
+  };
+  if (nt == 1) {
+    worker();
+  } else {
+    std::vector<std::thread> pool;
+    for (unsigned t = 0; t < nt; ++t) pool.emplace_back(worker);
+    for (auto& t : pool) t.join();
+  }
+  return ok.load();
 }
 
 // Direct map export for cross-validation against the JAX geometry:
