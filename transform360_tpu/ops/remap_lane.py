@@ -53,10 +53,19 @@ LANES = 128          # frames per pass (batch lives in lanes)
 XW = 16              # aligned x sub-window sublanes per load (fits T<=8 + 7)
 PAD_LEFT_CLAMP = 8   # replicate pad so clamp-mode negative taps stay >= 0
 
-# candidate (win_h, win_w) ladder; a rung is double-buffered when the
-# window fits the budget, single-buffered otherwise; tiles beyond the
-# largest feasible rung go to the XLA fallback.
-_LADDER = ((32, 384), (48, 512), (64, 768), (96, 1024), (128, 1536))
+# Window rungs are chosen ADAPTIVELY per plan from the tiles' actual
+# footprint needs, snapped to this candidate grid: each tile takes the
+# min-area candidate that fits, candidates with too few tiles are folded
+# upward (a pallas_call per rung is only worth it with enough steps).
+# This matters enormously for HBM traffic: a fixed coarse ladder fetched
+# 16.2 GB of windows per 4K luma pass where the exact-fit total is
+# 2.4 GB (the median tile needs (30, 80) of a (32, 384) minimum rung).
+# A rung is double-buffered when the window fits the budget,
+# single-buffered otherwise; tiles beyond the largest feasible candidate
+# go to the XLA fallback.
+_WH_CAND = (16, 24, 32, 48, 64, 96, 128)
+_WW_CAND = (32, 48, 64, 96, 128, 160, 192, 256, 384, 512, 768, 1024, 1536)
+_TARGET_CLASSES = 16
 _DOUBLE_BUF_BYTES = 5 * 2**20
 _WINDOW_BYTES_MAX = 13 * 2**20
 
@@ -186,25 +195,80 @@ def build_lane_remap(spec: SampleSpec, fill: float) -> Optional[LaneRemapPlan]:
             tile_lx[k] = lx
             tile_need[k, 0] = wh
             tile_need[k, 1] = ((int(lx.max()) // 8) * 8) + XW
-    # rung selection: ladder entries capped by the actual maximum needs
-    # (small planes) and deduplicated; tiles beyond the last rung -> fb
-    max_wh = int(tile_need[:, 0].max())
+    # adaptive rung selection: start from every min-area candidate in use,
+    # then greedily merge away the rung whose tiles are cheapest to fold
+    # into the next-larger cover, until at most _TARGET_CLASSES remain
+    # (each rung is a separate Mosaic kernel compile).  Tiles beyond every
+    # candidate -> fb.
+    max_wh = min(int(tile_need[:, 0].max()), hp)
     max_ww = int(tile_need[:, 1].max())
-    rungs: List[Tuple[int, int]] = []
-    for wh, ww in _LADDER:
-        wh = min(wh, max_wh, hp)
-        ww = min(ww, max_ww)
-        if wh * ww * LANES > _WINDOW_BYTES_MAX:
-            continue
-        if rungs and rungs[-1] == (wh, ww):
-            continue
-        rungs.append((wh, ww))
-    assign = np.full(n_tiles, -1, np.int64)
-    for ri, (wh, ww) in enumerate(rungs):
-        sel = (assign < 0) & (tile_need[:, 0] <= wh) & (tile_need[:, 1] <= ww)
-        assign[sel] = ri
+    cands: List[Tuple[int, int]] = sorted(
+        {
+            (min(wh, max_wh), min(ww, max_ww))
+            for wh in _WH_CAND
+            for ww in _WW_CAND
+            if min(wh, max_wh) * min(ww, max_ww) * LANES <= _WINDOW_BYTES_MAX
+        },
+        key=lambda r: (r[0] * r[1], r),
+    )
+    rh = np.array([r[0] for r in cands])
+    rw = np.array([r[1] for r in cands])
+    area = rh * rw
+    fits = (tile_need[:, :1] <= rh[None, :]) & (tile_need[:, 1:] <= rw[None, :])
+    alive = fits.any(axis=0) & np.array(
+        [
+            bool(
+                (
+                    fits[:, ci]
+                    & (np.where(fits, area[None, :], np.iinfo(np.int64).max)
+                       .argmin(axis=1) == ci)
+                ).any()
+            )
+            for ci in range(len(cands))
+        ]
+    )
 
-    wp = -(-(W + pad_left + max(ww for _, ww in rungs)) // 8) * 8
+    def assign_of(alive_mask):
+        masked = np.where(
+            fits & alive_mask[None, :], area[None, :], np.iinfo(np.int64).max
+        )
+        a = masked.argmin(axis=1)
+        a[masked.min(axis=1) == np.iinfo(np.int64).max] = -1
+        return a
+
+    while alive.sum() > _TARGET_CLASSES:
+        assign_c = assign_of(alive)
+        best_ci, best_cost = -1, None
+        for ci in np.nonzero(alive)[0]:
+            rows = assign_c == ci
+            trial = alive.copy()
+            trial[ci] = False
+            masked = np.where(
+                fits[rows] & trial[None, :], area[None, :],
+                np.iinfo(np.int64).max,
+            )
+            sec = masked.min(axis=1)
+            if (sec == np.iinfo(np.int64).max).any():
+                continue  # only cover for some tile
+            cost = int((sec - area[ci]).sum())
+            if best_cost is None or cost < best_cost:
+                best_ci, best_cost = ci, cost
+        if best_ci < 0:
+            break
+        alive[best_ci] = False
+
+    assign_c = assign_of(alive)
+    kept = np.nonzero(np.bincount(
+        assign_c[assign_c >= 0], minlength=len(cands)
+    ))[0]
+    rungs = [cands[ci] for ci in kept]
+    remap_ci = {ci: ri for ri, ci in enumerate(kept)}
+    assign = np.array(
+        [remap_ci.get(ci, -1) for ci in assign_c], np.int64
+    )
+
+    ww_max = max((ww for _, ww in rungs), default=XW)
+    wp = -(-(W + pad_left + ww_max) // 8) * 8
 
     classes = []
     for ri, (wh, ww) in enumerate(rungs):
@@ -381,11 +445,15 @@ def _make_lane_kernel(plan: LaneRemapPlan, cls: LaneClass):
                 ly = idx_ref[0, 0, px]
                 lxq = pl.multiple_of(idx_ref[0, 1, px], 8)
                 code = idx_ref[0, 2, px]
+                # ONE dynamic (T, XW, B) slice for all taps, then static
+                # per-tap subslices: measured 9x faster than T separate
+                # dynamic (1, XW, B) slices (3.7 vs 33.4 cyc/px — per-tap
+                # dynamic address generation dominated the loop)
+                v = win[slot, pl.ds(ly, T), pl.ds(lxq, XW), :]
+                vf = v.astype(jnp.int32).astype(jnp.float32)
                 acc16 = None
                 for t in range(T):
-                    v = win[slot, pl.ds(ly + t, 1), pl.ds(lxq, XW), :]
-                    vf = v.astype(jnp.int32).astype(jnp.float32)
-                    term = wyb_ref[0, t, px] * vf
+                    term = wyb_ref[0, t, px] * vf[t : t + 1]
                     acc16 = term if acc16 is None else acc16 + term
                 wv = wt_ref[pl.ds(code, 1), :, :]   # (1, XW, 1)
                 xa = jnp.sum(acc16 * wv, axis=1) + wyb_ref[0, T, px]

@@ -53,14 +53,14 @@ from .sampling import (
 )
 
 # Batch size at or above which the lane-batched kernel (batch in vector
-# lanes, ~16x the window-gather kernel's per-frame rate at batch 128) is
-# preferred.  A lane pass costs ~126 ms for the flagship plan regardless
-# of how many of the 128 lanes are real frames (the minor dim is
-# hardware-padded either way), while the window-gather path costs
-# ~104 ms per 8-frame chunk — so the measured crossover is batch 9:
-# at 8 the single window-gather chunk wins (77 vs 64 fps), at 9+ one
-# padded lane pass beats two chunks (e.g. 127 vs ~77 fps at batch 16).
-LANE_MIN_BATCH = int(os.environ.get("TRANSFORM360_LANE_MIN_BATCH", "9"))
+# lanes) is preferred.  After the adaptive window rungs + fused tap
+# slices, a padded lane pass (~94-98 ms for the flagship plan regardless
+# of how many of the 128 lanes hold real frames) beats the window-gather
+# path (~104 ms per 8-frame chunk) at EVERY batch size (measured: 81.6
+# vs 77.3 fps at batch 8), so the lane path is the default whenever the
+# plan supports it; the window-gather kernel remains the fallback for
+# plans outside lane coverage.
+LANE_MIN_BATCH = int(os.environ.get("TRANSFORM360_LANE_MIN_BATCH", "1"))
 
 _LANE_CACHE: Dict[str, object] = {}
 _LANE_MISS = object()
