@@ -159,12 +159,32 @@ def main():
         "flagship_b8": (dict(**mono), (1536, 1024), 8),
     }
 
+    # extra layout coverage (not BASELINE configs; run only when named,
+    # or all of them via `python bench_sweep.py extras`)
+    from transform360_tpu.config import Layout
+
+    extras = {
+        "x_eac_512": (
+            dict(output_layout=Layout.EAC_32, **mono), (1536, 1024), 128,
+        ),
+        "x_barrel": (
+            dict(output_layout=Layout.BARREL, **mono), (1920, 1080), 128,
+        ),
+        "x_flat_fixed": (
+            dict(output_layout=Layout.FLAT_FIXED, fixed_yaw=30.0,
+                 fixed_pitch=10.0, **mono),
+            (1280, 720), 128,
+        ),
+    }
+
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     with_transfer = "--with-transfer" in sys.argv
     # bare `--with-transfer` means ONLY the transfer case; named cases (or
     # no flags at all) select from the sweep table.
     selected = set(args) if args else (set() if with_transfer else set(cases))
-    for name, (kw, out_wh, batch) in cases.items():
+    if "extras" in selected:
+        selected |= set(extras)
+    for name, (kw, out_wh, batch) in {**cases, **extras}.items():
         if name in selected:
             run_case(name, kw, out_wh, batch)
     if with_transfer:

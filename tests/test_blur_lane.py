@@ -118,12 +118,13 @@ def test_blur_lane_per_column_taps(rng):
     _check_vs_xla(rng, plan.luma.blur, 80, 256)
 
 
-def test_blur_lane_default_precision(rng):
-    """The shipping "default" mode (single bf16 x-dot) stays within the
-    bf16 tap-rounding envelope of the f32 XLA path: ~0.5 LSB worst, so at
-    most 2 LSB after independent rounding, and only near rounding ties.
-    The 50 dB output contract for this mode is checked on the real chip
-    (tools/psnr_check.py: 58.8 dB worst, identical to "high")."""
+def test_blur_lane_fast_precision(rng, monkeypatch):
+    """The fast "default" mode (single bf16 x-dot) stays within the bf16
+    rounding envelope of the f32 XLA path: ~0.5 LSB worst, so at most
+    2 LSB after independent rounding, and only near rounding ties.  Its
+    real-chip PSNR is 53.5 dB worst (vs 57.7 for the shipping bf16x3
+    default) — above the 50 dB contract, offered as a speed knob."""
+    monkeypatch.setenv("TRANSFORM360_BLUR_PRECISION", "default")
     cfg = TransformConfig(interpolation_alg=Interpolation.CUBIC, **MONO)
     plan = build_plan(cfg, 256, 80, 96, 64)
     bl = build_blur_lane(plan.luma.blur, 80, 256)

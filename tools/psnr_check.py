@@ -61,20 +61,35 @@ def main():
             raise SystemExit(f"unknown config name(s): {sorted(unknown)}")
         cases = [c for c in cases if c[0] in keep]
 
+    # measure BOTH production kernel paths explicitly (batch routing would
+    # otherwise hide one: a batch-1 run only exercises the window-gather
+    # kernel, which once masked a lane-blur precision regression)
+    import transform360_tpu.pipeline as pl
+
+    paths = [("lane", 1), ("window_gather", 10**9)]
+    if len(sys.argv) > 2 and sys.argv[2] in ("lane", "window_gather"):
+        paths = [p for p in paths if p[0] == sys.argv[2]]
+
     results = {}
     for name, (ow, oh), kw in cases:
         cfg = TransformConfig(**kw)
         plan = build_plan(cfg, IN_W, IN_H, ow, oh)
-        got = transform_batch(plan, y, u, v)
-        got = [np.asarray(g) for g in got]
         want = oracle.transform_frame_yuv420(cfg, (y, u, v), ow, oh)
-        db = {}
-        for pname, g, w in zip("YUV", got, want):
-            mse = np.mean((g.astype(np.float64) - w.astype(np.float64)) ** 2)
-            db[pname] = round(10 * np.log10(255.0**2 / mse), 2) if mse else 99.0
-        results[name] = db
-        print(json.dumps({"config": name, "psnr_db": db,
-                          "backend": jax.default_backend()}), flush=True)
+        for path, lane_min in paths:
+            pl.LANE_MIN_BATCH = lane_min
+            got = [np.asarray(g) for g in transform_batch(plan, y, u, v)]
+            db = {}
+            for pname, g, w in zip("YUV", got, want):
+                mse = np.mean(
+                    (g.astype(np.float64) - w.astype(np.float64)) ** 2
+                )
+                db[pname] = (
+                    round(10 * np.log10(255.0**2 / mse), 2) if mse else 99.0
+                )
+            results[(name, path)] = db
+            print(json.dumps({"config": name, "path": path, "psnr_db": db,
+                              "backend": jax.default_backend()}), flush=True)
+    pl.LANE_MIN_BATCH = 9
 
     # config 5: batched stream — batch output must equal per-frame output
     cfg = TransformConfig(**mono)

@@ -247,11 +247,13 @@ def build_blur_lane(
         tapsy=tapsy,
         mx_bank=mx_bank,
         zero_w_from=w_cov,
-        # "default" (single bf16 dot) measures identical real-chip PSNR to
-        # the bf16x3 split (58.8 dB worst on the adaptive config — the
-        # ~2^-10 tap-rounding noise sits ~70 dB down, far below the
-        # pipeline's 1/32-quantization floor) and saves ~30% of the pass.
-        precision=os.environ.get("TRANSFORM360_BLUR_PRECISION", "default"),
+        # bf16x3 ("high") is the default: the vertical pass feeds the
+        # x-matmul NON-integer f32 rows, so a single bf16 dot rounds its
+        # row operand at ~2^-9 relative and costs ~4 dB of real-chip PSNR
+        # (53.5 dB worst vs 57.7 with the split; both above the 50 dB
+        # bar).  "default" remains the fast knob (~6 ms less per 4K pass,
+        # +7% flagship throughput) for callers that accept 53 dB.
+        precision=os.environ.get("TRANSFORM360_BLUR_PRECISION", "high"),
     )
 
 

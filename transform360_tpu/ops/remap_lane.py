@@ -6,24 +6,28 @@ This kernel instead puts the **frame batch in the 128 vector lanes**
 (``[H, W, B]`` layout) so that every tap of every output pixel is ONE
 aligned vector load shared by 128 frames — no gathers at all:
 
-* per output pixel, the T y-tap rows are loaded as aligned ``(1, 16, B)``
-  slices of a DMA'd input window (x quantized to 8 sublanes; the 16-wide
-  sub-window covers taps + quantization slack for T <= 8),
-* the y-interpolation is T scalar-weight FMAs (weights read from SMEM),
+* per output pixel, all T y-tap rows are loaded as ONE aligned
+  ``(T, 16, B)`` slice of a DMA'd input window (x quantized to 8
+  sublanes; the 16-wide sub-window covers taps + quantization slack for
+  T <= 8; a single dynamic slice runs ~9x faster than T per-tap dynamic
+  slices — dynamic address generation dominated the old loop),
+* the y-interpolation is T scalar-weight FMAs over static subslices
+  (weights read from SMEM),
 * the x-interpolation is a contraction of the 16 sublanes against a
   precomputed ``[256, 16, 1]`` weight-table row indexed by
   ``fracx_index * 8 + x_offset`` on the (alignment-free) outer dim,
 * 8 pixels are assembled per loop step so output stores stay
   sublane-aligned.
 
-Measured ~23 cycles/output pixel on v5e (tools/probe_lane_kernel.py): a
-4K -> 1536x1024 cubic luma remap costs ~0.3 ms/frame at batch 128, ~25x
-the window-gather kernel's per-frame rate.
+Measured ~3.7 cycles/output pixel on v5e (tools/probe_lane_kernel.py).
 
 Tiles are [8, 32] output subtiles; each gets an input window class sized
-at plan time from the actual warp footprints (an adaptive ladder under the
-~16 MB VMEM budget).  Tiles whose footprint exceeds the largest rung (rare;
-none for the 4K cubemap config) fall back to an XLA gather patch.
+at plan time from the actual warp footprints.  Window rungs are selected
+adaptively per plan (min-area candidate per tile, greedily merged to a
+bounded class count) — HBM window traffic for the 4K flagship plan is
+~3.5 GB/pass vs 16.2 GB with the earlier fixed ladder.  Tiles whose
+footprint exceeds every feasible candidate (rare; none for the 4K
+cubemap config) fall back to an XLA gather patch.
 
 Projection/stereo/border semantics all live in the plan arrays (built from
 the same 1/32-quantized :class:`~transform360_tpu.sampling.SampleSpec` as

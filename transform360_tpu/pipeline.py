@@ -53,14 +53,15 @@ from .sampling import (
 )
 
 # Batch size at or above which the lane-batched kernel (batch in vector
-# lanes) is preferred.  After the adaptive window rungs + fused tap
-# slices, a padded lane pass (~94-98 ms for the flagship plan regardless
-# of how many of the 128 lanes hold real frames) beats the window-gather
-# path (~104 ms per 8-frame chunk) at EVERY batch size (measured: 81.6
-# vs 77.3 fps at batch 8), so the lane path is the default whenever the
-# plan supports it; the window-gather kernel remains the fallback for
-# plans outside lane coverage.
-LANE_MIN_BATCH = int(os.environ.get("TRANSFORM360_LANE_MIN_BATCH", "1"))
+# lanes) is preferred.  A padded lane pass costs ~105-110 ms for the
+# flagship plan regardless of how many of the 128 lanes hold real frames
+# (the minor dim is hardware-padded either way), while the window-gather
+# path costs ~104 ms per 8-frame chunk — measured at batch 8: 73.0 fps
+# (lane, bf16x3 blur) vs 77.3 (window-gather), so the crossover stays at
+# 9; from 9 up one padded lane pass beats two chunks (145.8 vs ~77 fps
+# at batch 16).  tools/psnr_check.py forces BOTH paths so each keeps
+# real-chip fidelity evidence.
+LANE_MIN_BATCH = int(os.environ.get("TRANSFORM360_LANE_MIN_BATCH", "9"))
 
 _LANE_CACHE: Dict[str, object] = {}
 _LANE_MISS = object()
