@@ -220,8 +220,10 @@ class _StagedExecutor:
     def staged_for(self, x) -> Tuple[Callable, Callable, Tuple]:
         """(fn, jitted_fn, device_consts) for this input shape;
         ``fn(x, consts)`` is traceable inside a larger jit (benches
-        chain it)."""
-        key = (tuple(x.shape), x.dtype)
+        chain it).  LANE_MIN_BATCH is part of the key: the batch-routing
+        decision is baked in at trace time, so tools that flip it (e.g.
+        psnr_check's dual-path sweep) must not reuse stale traces."""
+        key = (tuple(x.shape), x.dtype, LANE_MIN_BATCH)
         ent = self._by_shape.get(key)
         if ent is None:
             fn, consts = stage_program(
@@ -237,9 +239,11 @@ class _StagedExecutor:
 
 
 def plane_executor(pp: PlanePlan) -> Callable:
-    """Jitted executor for one plane class, cached by plan identity."""
+    """Jitted executor for one plane class, cached by plan identity (and
+    the batch-routing threshold, which the program bakes in at trace
+    time)."""
     use_pallas = _use_pallas(pp)
-    key = (pp.key, use_pallas)
+    key = (pp.key, use_pallas, LANE_MIN_BATCH)
     fn = _EXEC_CACHE.get(key)
     if fn is None:
         fn = _StagedExecutor(_plane_program(pp, use_pallas))
