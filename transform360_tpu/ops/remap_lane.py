@@ -405,42 +405,68 @@ def pad_plane_lane(plan: LaneRemapPlan, x: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([x, right], axis=2)
 
 
+def _dma_chunks(wh: int) -> List[Tuple[int, int]]:
+    """Split a window's rows into chunks for concurrent async copies.
+
+    A single strided HBM->VMEM copy runs at ~50-70 GB/s on v5e (measured:
+    the flagship luma pass was DMA-bound at almost exactly window-bytes /
+    50 GB/s); issuing the row chunks as parallel copies on separate
+    semaphores engages multiple DMA queues and lifts the aggregate rate.
+    """
+    S = max(1, min(8, wh // 8))
+    base, extra = divmod(wh, S)
+    chunks, y = [], 0
+    for s in range(S):
+        rows = base + (1 if s < extra else 0)
+        chunks.append((y, rows))
+        y += rows
+    return chunks
+
+
 def _make_lane_kernel(plan: LaneRemapPlan, cls: LaneClass):
     T = plan.taps
     wh, ww = cls.win_h, cls.win_w
     n = cls.n
     nbuf = 2 if cls.double_buf else 1
+    chunks = _dma_chunks(wh)
+    S = len(chunks)
 
     def kernel(meta_ref, idx_ref, wyb_ref, wt_ref, src_ref, out_ref,
                win, sems):
         i = pl.program_id(0)
 
-        def dma(slot, t):
-            return pltpu.make_async_copy(
-                src_ref.at[
-                    pl.ds(meta_ref[1, t], wh),
-                    pl.ds(pl.multiple_of(meta_ref[2, t], 8), ww),
-                    :,
-                ],
-                win.at[slot],
-                sems.at[slot],
-            )
+        def dmas(slot, t):
+            y0 = meta_ref[1, t]
+            x0 = pl.multiple_of(meta_ref[2, t], 8)
+            return [
+                pltpu.make_async_copy(
+                    src_ref.at[pl.ds(y0 + cy, rows), pl.ds(x0, ww), :],
+                    win.at[slot, pl.ds(cy, rows)],
+                    sems.at[slot, s],
+                )
+                for s, (cy, rows) in enumerate(chunks)
+            ]
 
         if nbuf == 2:
             @pl.when(i == 0)
             def _():
-                dma(0, 0).start()
+                for c in dmas(0, 0):
+                    c.start()
 
             @pl.when(i + 1 < n)
             def _():
-                dma((i + 1) % 2, i + 1).start()
+                for c in dmas((i + 1) % 2, i + 1):
+                    c.start()
 
             slot = i % 2
-            dma(slot, i).wait()
+            for c in dmas(slot, i):
+                c.wait()
         else:
             slot = 0
-            dma(0, i).start()
-            dma(0, i).wait()
+            for c in dmas(0, i):
+                c.start()
+            for c in dmas(0, i):
+                c.wait()
 
         def body(o, carry):
             rows = []
@@ -520,7 +546,7 @@ def _run_lane_class(plan, cls: LaneClass, padded, prev_out, interpret):
         ),
         scratch_shapes=[
             pltpu.VMEM((nbuf, cls.win_h, cls.win_w, LANES), jnp.uint8),
-            pltpu.SemaphoreType.DMA((nbuf,)),
+            pltpu.SemaphoreType.DMA((nbuf, len(_dma_chunks(cls.win_h)))),
         ],
     )
     return pl.pallas_call(
