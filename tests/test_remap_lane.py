@@ -78,3 +78,20 @@ def test_equirect_roundtrip_identityish(rng):
         **MONO,
     )
     run_case(rng, cfg, (128, 64), (128, 64))
+
+
+def test_dma_chunks_partition():
+    from transform360_tpu.ops.remap_lane import _dma_chunks
+
+    for wh in (1, 7, 8, 15, 16, 24, 32, 48, 64, 89, 128):
+        chunks = _dma_chunks(wh)
+        assert 1 <= len(chunks) <= 8
+        # contiguous, gap-free cover of [0, wh)
+        y = 0
+        for cy, rows in chunks:
+            assert cy == y and rows >= 1
+            y += rows
+        assert y == wh
+        # balanced: chunk sizes differ by at most one row
+        sizes = [r for _, r in chunks]
+        assert max(sizes) - min(sizes) <= 1
