@@ -87,6 +87,12 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
+    # Persistent compilation cache: repeat CLI invocations of the same
+    # config skip the (minutes-long on remote backends) XLA compile.
+    from .utils.backend import enable_compilation_cache
+
+    enable_compilation_cache()
+
     pf = get_pixel_format(args.pix_fmt)
     if is_raw_path(args.input):
         if args.input_size is None:

@@ -372,16 +372,9 @@ def scaled_output_dims(cfg: TransformConfig, out_w: int, out_h: int):
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
-def build_warp_map(
+def _build_warp_map_jit(
     cfg: TransformConfig, in_w: int, in_h: int, out_w: int, out_h: int
 ):
-    """Jitted warp-map builder: float32 [H', W', 2] in input pixel coords.
-
-    Parity with generateMapForPlane (VideoFrameTransform.cpp:504-556):
-    output sampled at pixel centers (+0.5)/dim, map stores
-    ``out*in_dim - 0.5`` for the OpenCV pixel-center convention, at the
-    scale-factor-scaled output size.  Channel 0 is x, channel 1 is y.
-    """
     scaled_w, scaled_h = scaled_output_dims(cfg, out_w, out_h)
     input_pixel_width = 1.0 / in_w
     if cfg.input_stereo_format == StereoFormat.LR:
@@ -391,3 +384,26 @@ def build_warp_map(
     x, y = jnp.meshgrid(jj, ii)  # [H', W']
     out_x, out_y, _ = transform_pos(cfg, x, y, input_pixel_width)
     return jnp.stack([out_x * in_w - 0.5, out_y * in_h - 0.5], axis=-1)
+
+
+def build_warp_map(
+    cfg: TransformConfig, in_w: int, in_h: int, out_w: int, out_h: int
+):
+    """Jitted warp-map builder: float32 [H', W', 2] in input pixel coords.
+
+    Parity with generateMapForPlane (VideoFrameTransform.cpp:504-556):
+    output sampled at pixel centers (+0.5)/dim, map stores
+    ``out*in_dim - 0.5`` for the OpenCV pixel-center convention, at the
+    scale-factor-scaled output size.  Channel 0 is x, channel 1 is y.
+
+    Runs on the host CPU backend even when an accelerator is the default
+    device: every consumer is plan-time numpy, so building the map on the
+    accelerator only adds a full-map device->host readback (minutes over
+    a remote-TPU tunnel for a 4K map) for zero benefit.
+    """
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except RuntimeError:  # cpu platform not initialized (unusual pin)
+        return _build_warp_map_jit(cfg, in_w, in_h, out_w, out_h)
+    with jax.default_device(cpu):
+        return _build_warp_map_jit(cfg, in_w, in_h, out_w, out_h)

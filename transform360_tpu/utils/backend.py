@@ -14,11 +14,36 @@ the ambient pin is healthy.
 
 from __future__ import annotations
 
+import os
 
-def ensure_device():
+_CACHE_DIR = os.path.expanduser("~/.cache/transform360_tpu/jax_cache")
+
+
+def enable_compilation_cache(cache_dir: str = _CACHE_DIR) -> None:
+    """Point JAX's persistent compilation cache at ``cache_dir``.
+
+    The full 4K pipeline takes minutes to compile over the remote-TPU
+    tunnel; the on-disk cache makes every later process start (bench
+    re-runs, CLI invocations) skip straight to execution.  Safe across
+    libtpu versions — the cache key includes the compiler build.
+    """
+    import jax
+
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
+def ensure_device(compilation_cache: bool = True):
     """Return ``jax.devices()[0]``, recovering from a broken platform pin."""
     import jax
 
+    if compilation_cache:
+        enable_compilation_cache()
     try:
         return jax.devices()[0]
     except RuntimeError:
