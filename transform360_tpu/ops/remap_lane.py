@@ -80,6 +80,7 @@ class LaneClass:
     win_w: int
     n: int
     double_buf: bool
+    unpack_f32: bool   # pre-unpack the window to an f32 scratch (see kernel)
     meta: np.ndarray   # [3, n] i32: tile linear id, window y0, x0 (x0 % 8 == 0)
     idx: np.ndarray    # [n, 3, TPo] i32: ly, lxq (8-aligned), code
     wyb: np.ndarray    # [n, T + 1, TPo] f32: T y-tap weights + additive bias
@@ -313,12 +314,28 @@ def build_lane_remap(spec: SampleSpec, fill: float) -> Optional[LaneRemapPlan]:
                 wy = np.where(va[None, :], wy, 0.0)
                 wyb[j, T] = np.where(va, 0.0, fill)
             wyb[j, :T] = wy
+        wbytes = wh * ww * LANES
+        dbl = wbytes <= _DOUBLE_BUF_BYTES
+        # f32 pre-unpack scratch: unpacking the window ONCE after the DMA
+        # amortizes the u8->f32 conversion over the pixel slices that
+        # re-touch each window element.  Whether it wins depends on the
+        # reuse factor (touched slice elements / window elements): at the
+        # production 256 px/tile, the A/B probe
+        # (tools/probe_unpack_amortization.py) measures (32,96) windows
+        # at 16.2 -> 14.6 cyc/px (reuse ~5) but (88,192) at 8.5 -> 16.4
+        # (reuse ~1 — the whole-window unpack costs more than it saves).
+        # Gate on reuse >= 2.5 plus the VMEM budget for the extra 4x
+        # scratch; big rungs keep the per-pixel u8 body.
         classes.append(
             LaneClass(
                 win_h=wh,
                 win_w=ww,
                 n=n,
-                double_buf=(wh * ww * LANES <= _DOUBLE_BUF_BYTES),
+                double_buf=dbl,
+                unpack_f32=(
+                    5 * wh * ww <= 2 * TPo * T * XW
+                    and ((2 if dbl else 1) + 4) * wbytes <= _WINDOW_BYTES_MAX
+                ),
                 meta=meta,
                 idx=idx,
                 wyb=wyb,
@@ -432,7 +449,7 @@ def _make_lane_kernel(plan: LaneRemapPlan, cls: LaneClass):
     S = len(chunks)
 
     def kernel(meta_ref, idx_ref, wyb_ref, wt_ref, src_ref, out_ref,
-               win, sems):
+               win, sems, wf32=None):
         i = pl.program_id(0)
 
         def dmas(slot, t):
@@ -468,6 +485,24 @@ def _make_lane_kernel(plan: LaneRemapPlan, cls: LaneClass):
             for c in dmas(0, i):
                 c.wait()
 
+        if wf32 is not None:
+            # whole-window u8 -> f32 unpack, ONCE per tile: per-pixel
+            # (T, XW, B) u8 slices + unpacks measure ~19.5 cyc/px vs
+            # ~5.0 with f32 slices of a pre-unpacked window
+            # (tools/probe_f32_window.py; each window element feeds ~7
+            # pixel footprints, so unpack-at-use repeated the work).
+            # Static slot index per branch: a dynamic leading index on
+            # the copy source lowers to a slow path.
+            if nbuf == 1:
+                wf32[...] = win[0].astype(jnp.int32).astype(jnp.float32)
+            else:
+                for sl in range(nbuf):
+                    @pl.when(slot == sl)
+                    def _(sl=sl):
+                        wf32[...] = (
+                            win[sl].astype(jnp.int32).astype(jnp.float32)
+                        )
+
         def body(o, carry):
             rows = []
             for s in range(TH):
@@ -479,8 +514,11 @@ def _make_lane_kernel(plan: LaneRemapPlan, cls: LaneClass):
                 # per-tap subslices: measured 9x faster than T separate
                 # dynamic (1, XW, B) slices (3.7 vs 33.4 cyc/px — per-tap
                 # dynamic address generation dominated the loop)
-                v = win[slot, pl.ds(ly, T), pl.ds(lxq, XW), :]
-                vf = v.astype(jnp.int32).astype(jnp.float32)
+                if wf32 is not None:
+                    vf = wf32[pl.ds(ly, T), pl.ds(lxq, XW), :]
+                else:
+                    v = win[slot, pl.ds(ly, T), pl.ds(lxq, XW), :]
+                    vf = v.astype(jnp.int32).astype(jnp.float32)
                 acc16 = None
                 for t in range(T):
                     term = wyb_ref[0, t, px] * vf[t : t + 1]
@@ -528,13 +566,21 @@ def _run_lane_class(plan, cls: LaneClass, padded, prev_out, interpret):
         kwargs["input_output_aliases"] = {5: 0}
 
         def kfn(meta_ref, idx_ref, wyb_ref, wt_ref, src_ref, prev_ref,
-                out_ref, win, sems):
+                out_ref, win, sems, *scr):
             del prev_ref
             kernel(meta_ref, idx_ref, wyb_ref, wt_ref, src_ref, out_ref,
-                   win, sems)
+                   win, sems, *scr)
     else:
         kfn = kernel
 
+    scratch = [
+        pltpu.VMEM((nbuf, cls.win_h, cls.win_w, LANES), jnp.uint8),
+        pltpu.SemaphoreType.DMA((nbuf, len(_dma_chunks(cls.win_h)))),
+    ]
+    if cls.unpack_f32:
+        scratch.append(
+            pltpu.VMEM((cls.win_h, cls.win_w, LANES), jnp.float32)
+        )
     gs = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(cls.n,),
@@ -544,10 +590,7 @@ def _run_lane_class(plan, cls: LaneClass, padded, prev_out, interpret):
             lambda i, m: (m[0, i], 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        scratch_shapes=[
-            pltpu.VMEM((nbuf, cls.win_h, cls.win_w, LANES), jnp.uint8),
-            pltpu.SemaphoreType.DMA((nbuf, len(_dma_chunks(cls.win_h)))),
-        ],
+        scratch_shapes=scratch,
     )
     return pl.pallas_call(
         kfn,
