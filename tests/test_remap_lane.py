@@ -95,3 +95,42 @@ def test_dma_chunks_partition():
         # balanced: chunk sizes differ by at most one row
         sizes = [r for _, r in chunks]
         assert max(sizes) - min(sizes) <= 1
+
+
+def test_unpack_f32_gate_and_body_parity(rng):
+    """The f32 pre-unpack is gated on window-reuse (small windows only),
+    and both kernel bodies (u8 per-pixel unpack vs f32 scratch slices)
+    produce byte-identical output — the u8->i32->f32 conversion is exact,
+    so the gate is a pure performance knob."""
+    import dataclasses
+
+    cfg = TransformConfig(interpolation_alg=Interpolation.CUBIC, **MONO)
+    plan = build_plan(cfg, 128, 64, 96, 64)
+    pp = plan.luma
+    lplan = build_lane_remap(pp.spec, pp.fill)
+    assert lplan is not None
+    T = lplan.taps
+    for cls in lplan.classes:
+        # gate matches the documented reuse criterion exactly
+        from transform360_tpu.ops.remap_lane import (
+            LANES, TPo, XW, _DOUBLE_BUF_BYTES, _WINDOW_BYTES_MAX,
+        )
+        wbytes = cls.win_h * cls.win_w * LANES
+        nbuf = 2 if wbytes <= _DOUBLE_BUF_BYTES else 1
+        want = (
+            5 * cls.win_h * cls.win_w <= 2 * TPo * T * XW
+            and (nbuf + 4) * wbytes <= _WINDOW_BYTES_MAX
+        )
+        assert cls.unpack_f32 == want
+    assert any(c.unpack_f32 for c in lplan.classes), "small windows gate on"
+
+    x = rng.integers(0, 256, (2, pp.in_h, pp.in_w), dtype=np.uint8)
+    got_f32 = np.asarray(remap_lane(lplan, jnp.asarray(x), interpret=True))
+    forced = dataclasses.replace(
+        lplan,
+        classes=tuple(
+            dataclasses.replace(c, unpack_f32=False) for c in lplan.classes
+        ),
+    )
+    got_u8 = np.asarray(remap_lane(forced, jnp.asarray(x), interpret=True))
+    assert (got_f32 == got_u8).all()
