@@ -118,11 +118,18 @@ def test_unpack_f32_gate_and_body_parity(rng):
         wbytes = cls.win_h * cls.win_w * LANES
         nbuf = 2 if wbytes <= _DOUBLE_BUF_BYTES else 1
         want = (
-            5 * cls.win_h * cls.win_w <= 2 * TPo * T * XW
+            T >= 4
+            and 5 * cls.win_h * cls.win_w <= 2 * TPo * T * XW
             and (nbuf + 4) * wbytes <= _WINDOW_BYTES_MAX
         )
         assert cls.unpack_f32 == want
     assert any(c.unpack_f32 for c in lplan.classes), "small windows gate on"
+
+    # T=2 (bilinear) never unpacks: measured net loss on chip even on
+    # high-reuse classes (see the gate comment in ops/remap_lane.py)
+    lin = TransformConfig(interpolation_alg=Interpolation.LINEAR, **MONO)
+    lpl = build_lane_remap(build_plan(lin, 128, 64, 96, 64).luma.spec, 0.0)
+    assert not any(c.unpack_f32 for c in lpl.classes)
 
     x = rng.integers(0, 256, (2, pp.in_h, pp.in_w), dtype=np.uint8)
     got_f32 = np.asarray(remap_lane(lplan, jnp.asarray(x), interpret=True))

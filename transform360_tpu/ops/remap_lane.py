@@ -325,7 +325,11 @@ def build_lane_remap(spec: SampleSpec, fill: float) -> Optional[LaneRemapPlan]:
         # at 16.2 -> 14.6 cyc/px (reuse ~5) but (88,192) at 8.5 -> 16.4
         # (reuse ~1 — the whole-window unpack costs more than it saves).
         # Gate on reuse >= 2.5 plus the VMEM budget for the extra 4x
-        # scratch; big rungs keep the per-pixel u8 body.
+        # scratch; big rungs keep the per-pixel u8 body.  T >= 4 only:
+        # the 4K bilinear (T=2) pass measures 35.9 -> 36.8 ms with the
+        # unpack even on its high-reuse classes (tools/probe_unpack_ab.py
+        # linear) — the (2,16,B) slice body is cheap enough that the
+        # whole-window unpack never pays for itself.
         classes.append(
             LaneClass(
                 win_h=wh,
@@ -333,7 +337,8 @@ def build_lane_remap(spec: SampleSpec, fill: float) -> Optional[LaneRemapPlan]:
                 n=n,
                 double_buf=dbl,
                 unpack_f32=(
-                    5 * wh * ww <= 2 * TPo * T * XW
+                    T >= 4
+                    and 5 * wh * ww <= 2 * TPo * T * XW
                     and ((2 if dbl else 1) + 4) * wbytes <= _WINDOW_BYTES_MAX
                 ),
                 meta=meta,
