@@ -128,11 +128,19 @@ def _circular_origin(vals: np.ndarray, n: int):
     return int(u[0]), int(u[-1] - u[0] + 1)
 
 
+def pallas_eligible(spec: SampleSpec) -> bool:
+    """Whether this plan's sizes fit the kernel backends (cheap; used by
+    the pipeline to route WITHOUT building the full window plan, which is
+    by far the most expensive plan stage)."""
+    out_h, out_w = spec.base_y.shape
+    return not (out_h < TH or out_w < TW * SUB or spec.in_w < CLASS_R[1])
+
+
 def build_pallas_remap(spec: SampleSpec, fill: float) -> Optional["PallasRemapPlan"]:
     T = _TAPS[spec.interp]
     H, W = spec.in_h, spec.in_w
     out_h, out_w = spec.base_y.shape
-    if out_h < TH or out_w < TW * SUB or W < CLASS_R[1]:
+    if not pallas_eligible(spec):
         return None  # tiny planes: the XLA path is fine there
     pg = (TP * T) // LANES
     px_per_group = LANES // T

@@ -39,7 +39,7 @@ import numpy as np
 from .filtering import apply_blur
 from .ops.blur_lane import blur_lane, build_blur_lane
 from .ops.remap_lane import build_lane_remap, remap_lane, remap_lane_hwb
-from .ops.remap_pallas import remap_pallas
+from .ops.remap_pallas import pallas_eligible, remap_pallas
 from .ops.staging import stage_program, staged
 from .plan import PlanePlan, TransformPlan
 from . import sampling
@@ -144,7 +144,7 @@ def _round_u8(x: jnp.ndarray) -> jnp.ndarray:
 def _use_pallas(pp: PlanePlan) -> bool:
     if os.environ.get("TRANSFORM360_FORCE_XLA") == "1":
         return False
-    if pp.pallas is None:
+    if not pallas_eligible(pp.spec):
         return False
     return jax.default_backend() not in ("cpu",)
 
@@ -163,7 +163,7 @@ def _plane_program(pp: PlanePlan, use_pallas: bool, interpret: bool = False):
             if pp.blur is not None:
                 x = _round_u8(apply_blur(pp.blur, x.astype(jnp.float32)))
             if use_pallas:
-                out = remap_pallas(pp.pallas, x, interpret=interpret)
+                out = remap_pallas(pp.pallas.get(), x, interpret=interpret)
                 fix = _fixup(pp)
                 if fix is not None:
                     vals = fixup_values(fix, x.reshape(x.shape[0], -1))

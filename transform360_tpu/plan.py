@@ -19,6 +19,7 @@ executable serves any number of frames for a given plan shape.
 from __future__ import annotations
 
 import dataclasses
+import threading
 import json
 from typing import Dict, Optional, Tuple
 
@@ -38,13 +39,39 @@ from .filtering import BandSpec, BlurPlan, _expand_cols, build_blur_plan
 from .sampling import SampleSpec, area_matrix, make_sample_spec
 
 
+class _LazyWindowPlan:
+    """Deferred window-gather kernel plan (ops.remap_pallas).
+
+    Building it is by far the most expensive plan stage (~80% of
+    build_plan for large plans — 11.8s of 14.5s for the 4K->3072 cubic
+    config) yet it only serves batches below pipeline.LANE_MIN_BATCH;
+    the lane path covers everything else.  Defer it until the first
+    small-batch call; `.get()` is memoized and thread-safe."""
+
+    def __init__(self, spec: SampleSpec, fill: float):
+        self._spec = spec
+        self._fill = fill
+        self._built = False
+        self._plan = None
+        self._lock = threading.Lock()
+
+    def get(self):
+        with self._lock:
+            if not self._built:
+                from .ops.remap_pallas import build_pallas_remap
+
+                self._plan = build_pallas_remap(self._spec, self._fill)
+                self._built = True
+            return self._plan
+
+
 @dataclasses.dataclass(frozen=True)
 class PlanePlan:
     """Everything needed to transform one plane class (luma or chroma)."""
 
     key: str  # identity for the compiled-executor cache
     spec: SampleSpec  # static structure + host arrays
-    pallas: Optional[object]  # ops.remap_pallas.PallasRemapPlan or None
+    pallas: "_LazyWindowPlan"  # deferred ops.remap_pallas plan (see class)
     blur: Optional[BlurPlan]
     in_w: int
     in_h: int
@@ -90,13 +117,10 @@ def _build_plane_plan(
     blur = build_blur_plan(cfg, in_w, in_h, scaled_w, scaled_h)
     need_resize = (scaled_w != out_w) or (scaled_h != out_h)
     key = f"{cfg.cache_key()}:{in_w}x{in_h}:{out_w}x{out_h}:p{map_plane_index}"
-    from .ops.remap_pallas import build_pallas_remap
-
-    pallas_plan = build_pallas_remap(spec, 128.0 if map_plane_index else 0.0)
     return PlanePlan(
         key=key,
         spec=spec,
-        pallas=pallas_plan,
+        pallas=_LazyWindowPlan(spec, 128.0 if map_plane_index else 0.0),
         blur=blur,
         in_w=in_w,
         in_h=in_h,
@@ -226,8 +250,6 @@ def _plane_meta(pp: PlanePlan) -> dict:
 
 
 def _plane_from_npz(prefix: str, meta: dict, data) -> PlanePlan:
-    from .ops.remap_pallas import build_pallas_remap
-
     spec = SampleSpec(
         base_y=data[f"{prefix}.base_y"],
         base_x=data[f"{prefix}.base_x"],
@@ -268,7 +290,7 @@ def _plane_from_npz(prefix: str, meta: dict, data) -> PlanePlan:
     return PlanePlan(
         key=meta["key"],
         spec=spec,
-        pallas=build_pallas_remap(spec, float(meta["fill"])),
+        pallas=_LazyWindowPlan(spec, float(meta["fill"])),
         blur=blur,
         in_w=meta["in_w"],
         in_h=meta["in_h"],
