@@ -141,3 +141,33 @@ def test_unpack_f32_gate_and_body_parity(rng):
     )
     got_u8 = np.asarray(remap_lane(forced, jnp.asarray(x), interpret=True))
     assert (got_f32 == got_u8).all()
+
+
+def test_circular_origin_rows_matches_scalar(rng):
+    """The vectorized ring-origin (sort-based) must agree with the scalar
+    unique-based definition, including duplicate values and ties."""
+    from transform360_tpu.ops.remap_lane import _circular_origin_rows
+
+    def scalar(vals, n):
+        u = np.unique(vals)
+        if u.size == 1:
+            return int(u[0])
+        gaps = np.diff(u)
+        wrap_gap = int(u[0]) + n - int(u[-1])
+        k = int(np.argmax(gaps))
+        if gaps[k] > wrap_gap:
+            return int(u[k + 1])
+        return int(u[0])
+
+    n = 96
+    cases = [rng.integers(0, n, 17) for _ in range(200)]
+    cases += [np.full(9, v) for v in (0, 5, n - 1)]          # constant rows
+    cases += [np.array([0, 1, 2, n - 2, n - 1])]             # wrap arc
+    cases += [np.array([10, 40, 70])]                        # tied gaps
+    cases += [np.arange(n)]                                  # full ring
+    width = max(c.size for c in cases)
+    mat = np.stack([np.pad(c, (0, width - c.size), mode="edge") for c in cases])
+    got = _circular_origin_rows(mat, n)
+    for i, c in enumerate(cases):
+        padded = np.pad(c, (0, width - c.size), mode="edge")
+        assert got[i] == scalar(padded, n), (i, c)

@@ -112,16 +112,26 @@ class LaneRemapPlan:
     fb_bias: Optional[np.ndarray]     # [nf, TPo]
 
 
-def _circular_origin(vals: np.ndarray, n: int):
-    u = np.unique(vals)
-    if u.size == 1:
-        return int(u[0]), 1
-    gaps = np.diff(u)
-    wrap_gap = int(u[0]) + n - int(u[-1])
-    k = int(np.argmax(gaps)) if gaps.size else -1
-    if k >= 0 and gaps[k] > wrap_gap:
-        return int(u[k + 1]), int(u[k]) + n - int(u[k + 1]) + 1
-    return int(u[0]), int(u[-1] - u[0] + 1)
+def _circular_origin_rows(vals: np.ndarray, n: int) -> np.ndarray:
+    """Row-wise circular-window origin for [m, k] int values in [0, n).
+
+    Each row's values live on a ring of size n; the chosen origin starts
+    the narrowest contiguous arc covering them (the value after the
+    largest gap, or the smallest value when the wrap-around gap is
+    largest — ties keep the first maximal gap).  Sorting stands in for
+    per-row unique: duplicates contribute zero gaps, which never win
+    argmax, and argmax still lands on the first occurrence of the
+    largest distinct gap (tested against a scalar reference in
+    tests/test_remap_lane.py).
+    """
+    s = np.sort(vals, axis=1)
+    gaps = np.diff(s, axis=1)
+    wrap_gap = s[:, 0] + n - s[:, -1]
+    k = np.argmax(gaps, axis=1)
+    rows = np.arange(vals.shape[0])
+    use_gap = gaps[rows, k] > wrap_gap
+    return np.where(use_gap, s[rows, np.minimum(k + 1, s.shape[1] - 1)],
+                    s[:, 0])
 
 
 def _weight_table(interp: Interpolation) -> np.ndarray:
@@ -168,38 +178,41 @@ def build_lane_remap(spec: SampleSpec, fill: float) -> Optional[LaneRemapPlan]:
         _tap_weights(spec.interp, fy_p.astype(np.float64), np), axis=0
     ).astype(np.float32)  # [T, out_hp, out_wp]
 
-    # --- per-tile footprints -------------------------------------------------
+    # --- per-tile footprints (vectorized over all tiles) ---------------------
     # (ly: window-relative first-tap row; lx: window-relative first-tap col)
-    tile_need = np.zeros((n_tiles, 2), np.int64)  # wh, ww needed
-    tile_y0 = np.zeros(n_tiles, np.int64)
-    tile_x0 = np.zeros(n_tiles, np.int64)
-    tile_lx = np.zeros((n_tiles, TPo), np.int64)
+    # px ordering: px = c*8 + r (column-major within the tile) so 8
+    # consecutive px share one aligned output store.
+    def tiles_cm(a):
+        """[out_hp, out_wp] -> [n_tiles, TPo] in tile-major k = ti*n_tx+tj
+        order, column-major within each tile."""
+        return (
+            a.reshape(n_ty, TH, n_tx, TW)
+            .transpose(0, 2, 3, 1)
+            .reshape(n_tiles, TPo)
+        )
+
     Wp_ring = W  # x wrap ring size (pre-pad coordinates)
-    for ti in range(n_ty):
-        for tj in range(n_tx):
-            k = ti * n_tx + tj
-            ys = slice(ti * TH, (ti + 1) * TH)
-            xs = slice(tj * TW, (tj + 1) * TW)
-            tb_y = by_p[ys, xs]
-            tb_x = bx_p[ys, xs]
-            y0 = int(tb_y.min())
-            wh = int(tb_y.max()) - y0 + T
-            if spec.wrap:
-                x0, _ = _circular_origin(tb_x.reshape(-1), Wp_ring)
-                lx = np.where(tb_x < x0, tb_x + Wp_ring, tb_x) - x0
-            else:
-                x0 = int(tb_x.min())
-                lx = tb_x - x0
-            x0a = (x0 // 8) * 8
-            lx = lx + (x0 - x0a)
-            # px ordering: px = c*8 + r (column-major within the tile) so
-            # 8 consecutive px share one aligned output store
-            lx = lx.T.reshape(-1)
-            tile_y0[k] = y0
-            tile_x0[k] = x0a
-            tile_lx[k] = lx
-            tile_need[k, 0] = wh
-            tile_need[k, 1] = ((int(lx.max()) // 8) * 8) + XW
+    t_by = tiles_cm(by_p)
+    t_bx = tiles_cm(bx_p)
+    tile_y0 = t_by.min(axis=1)
+    if spec.wrap:
+        x0 = _circular_origin_rows(t_bx, Wp_ring)
+        tile_lx = (
+            np.where(t_bx < x0[:, None], t_bx + Wp_ring, t_bx) - x0[:, None]
+        )
+    else:
+        x0 = t_bx.min(axis=1)
+        tile_lx = t_bx - x0[:, None]
+    x0a = (x0 // 8) * 8
+    tile_x0 = x0a
+    tile_lx = tile_lx + (x0 - x0a)[:, None]
+    tile_need = np.stack(
+        [
+            t_by.max(axis=1) - tile_y0 + T,
+            ((tile_lx.max(axis=1) // 8) * 8) + XW,
+        ],
+        axis=1,
+    )
     # adaptive rung selection: start from every min-area candidate in use,
     # then greedily merge away the rung whose tiles are cheapest to fold
     # into the next-larger cover, until at most _TARGET_CLASSES remain
@@ -275,45 +288,43 @@ def build_lane_remap(spec: SampleSpec, fill: float) -> Optional[LaneRemapPlan]:
     ww_max = max((ww for _, ww in rungs), default=XW)
     wp = -(-(W + pad_left + ww_max) // 8) * 8
 
+    # per-tile arrays shared by every class (tile-major, column-major px)
+    t_fxi = tiles_cm(fxi_p)
+    t_wy = (
+        wy_all.reshape(T, n_ty, TH, n_tx, TW)
+        .transpose(1, 3, 0, 4, 2)
+        .reshape(n_tiles, T, TPo)
+    )
+    t_valid = None if valid_p is None else tiles_cm(valid_p)
+
     classes = []
     for ri, (wh, ww) in enumerate(rungs):
         ids = np.nonzero(assign == ri)[0]
         if ids.size == 0:
             continue
         n = ids.size
-        meta = np.zeros((3, n), np.int32)
-        idx = np.zeros((n, 3, TPo), np.int32)
+        # slide the window origin so a rung larger than the tile's need
+        # never overruns the plane; relative indices shift to match
+        # (x slides stay multiples of 8, preserving the off/code split)
+        y0 = np.clip(tile_y0[ids], 0, hp - wh)
+        x0 = np.minimum(tile_x0[ids], wp - ww)
+        assert x0.min() >= 0 and (x0 % 8 == 0).all()
+        meta = np.stack([ids, y0, x0]).astype(np.int32)
+        ly = t_by[ids] - y0[:, None]
+        lx = tile_lx[ids] + (tile_x0[ids] - x0)[:, None]
+        assert lx.min() >= 0 and (lx.max() // 8) * 8 + XW <= ww
+        assert ly.min() >= 0 and ly.max() + T <= wh
+        lxq = (lx // 8) * 8
+        idx = np.stack(
+            [ly, lxq, t_fxi[ids] * 8 + (lx - lxq)], axis=1
+        ).astype(np.int32)
         wyb = np.zeros((n, T + 1, TPo), np.float32)
-        for j, k in enumerate(ids):
-            ti, tj = divmod(int(k), n_tx)
-            ys = slice(ti * TH, (ti + 1) * TH)
-            xs = slice(tj * TW, (tj + 1) * TW)
-            # slide the window origin so a rung larger than the tile's need
-            # never overruns the plane; relative indices shift to match
-            # (x slides stay multiples of 8, preserving the off/code split)
-            y0 = max(0, min(int(tile_y0[k]), hp - wh))
-            x0 = min(int(tile_x0[k]), wp - ww)
-            assert 0 <= y0 <= hp - wh and 0 <= x0 <= wp - ww and x0 % 8 == 0
-            meta[0, j] = k
-            meta[1, j] = y0
-            meta[2, j] = x0
-            ly = (by_p[ys, xs] - y0).T.reshape(-1)
-            lx = tile_lx[k] + (int(tile_x0[k]) - x0)
-            assert lx.min() >= 0 and (lx.max() // 8) * 8 + XW <= ww
-            assert ly.min() >= 0 and ly.max() + T <= wh
-            lxq = (lx // 8) * 8
-            off = lx - lxq
-            fxi = fxi_p[ys, xs].T.reshape(-1)
-            idx[j, 0] = ly
-            idx[j, 1] = lxq
-            idx[j, 2] = fxi * 8 + off
-            wy = wy_all[:, ys, xs].reshape(T, -1)  # [T, TH*TW] row-major
-            wy = wy.reshape(T, TH, TW).transpose(0, 2, 1).reshape(T, TPo)
-            if valid_p is not None:
-                va = valid_p[ys, xs].T.reshape(-1)
-                wy = np.where(va[None, :], wy, 0.0)
-                wyb[j, T] = np.where(va, 0.0, fill)
-            wyb[j, :T] = wy
+        wy = t_wy[ids]
+        if t_valid is not None:
+            va = t_valid[ids]
+            wy = np.where(va[:, None, :], wy, 0.0)
+            wyb[:, T] = np.where(va, 0.0, fill)
+        wyb[:, :T] = wy
         wbytes = wh * ww * LANES
         dbl = wbytes <= _DOUBLE_BUF_BYTES
         # f32 pre-unpack scratch: unpacking the window ONCE after the DMA
