@@ -422,3 +422,19 @@ def test_pixel_format_plan_roundtrip(tmp_path, rng):
         np.asarray(transform_batch(plan, y)),
         np.asarray(transform_batch(plan2, y)),
     )
+
+
+def test_plan_memoization_and_clear():
+    """build_plan memoizes by (config hash, dims, pix_fmt); clear_plan_cache
+    drops the memo so the next build returns a fresh object."""
+    from transform360_tpu.plan import clear_plan_cache
+
+    cfg = TransformConfig(
+        interpolation_alg=Interpolation.LINEAR, enable_low_pass_filter=0, **MONO
+    )
+    a = build_plan(cfg, 256, 128, 96, 64)
+    assert build_plan(cfg, 256, 128, 96, 64) is a
+    # a different pix_fmt is a distinct cache entry
+    assert build_plan(cfg, 256, 128, 96, 64, pix_fmt="gray") is not a
+    clear_plan_cache()
+    assert build_plan(cfg, 256, 128, 96, 64) is not a

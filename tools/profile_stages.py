@@ -4,9 +4,14 @@ Uses the in-jit chain-difference method (utils.profiling.time_jitted) —
 the only timing that survives the remote-tunnel dispatch overheads and
 dedup (see NOTES.md "Measurement discipline").
 
-Usage: python tools/profile_stages.py [batch]
+Usage: python tools/profile_stages.py [batch] [--trace DIR]
+
+With ``--trace DIR`` the timed region is additionally captured as a
+jax.profiler device trace (open DIR with TensorBoard/XProf to see the
+per-kernel timeline on the chip).
 """
 
+import contextlib
 import sys
 
 import jax
@@ -17,11 +22,18 @@ from transform360_tpu import TransformConfig, build_plan, chroma_dims
 from transform360_tpu.config import Interpolation, StereoFormat
 from transform360_tpu.filtering import apply_blur
 from transform360_tpu.pipeline import plane_executor
-from transform360_tpu.utils.profiling import time_jitted
+from transform360_tpu.utils.profiling import device_trace, time_jitted
 
 IN_W, IN_H = 3840, 2160
 OUT_W, OUT_H = 1536, 1024
-B = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+
+TRACE_DIR = None
+_argv = sys.argv[1:]
+if "--trace" in _argv:
+    i = _argv.index("--trace")
+    TRACE_DIR = _argv[i + 1]
+    del _argv[i : i + 2]
+B = int(_argv[0]) if _argv else 128
 
 
 def report(name, sec_per_call, frames):
@@ -29,6 +41,12 @@ def report(name, sec_per_call, frames):
 
 
 def main():
+    ctx = device_trace(TRACE_DIR) if TRACE_DIR else contextlib.nullcontext()
+    with ctx:
+        _run()
+
+
+def _run():
     rng = np.random.default_rng(0)
     cw, ch = chroma_dims(IN_W, IN_H)
     y = jax.device_put(rng.integers(0, 256, (B, IN_H, IN_W), dtype=np.uint8))

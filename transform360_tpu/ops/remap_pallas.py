@@ -18,8 +18,8 @@ Structure: output is processed in [8, 128] **supertiles** (the minimal
 TPU-aligned output block), each made of four [8, 32] subtiles with their
 own DMA'd input window; each 128-lane request group additionally selects
 an 8-aligned row sub-window (group_h rows) so vector ops touch only the
-rows that group samples.  Plan-time classification (:mod:`tile_analysis`
-logic inlined here): subtile footprints that fit the regular class
+rows that group samples.  Plan-time classification (done inline in
+:func:`build_pallas_remap`): subtile footprints that fit the regular class
 (window 96x256, group_h 48) use a 2-chunk x-gather; up to 128x640/64
 uses 5 chunks; anything wider (barrel polar caps, degenerate pole tiles
 — ~1% of cubemap tiles) falls back to the XLA gather on just those
