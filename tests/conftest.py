@@ -22,6 +22,13 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compile cache: the suite compiles hundreds of XLA/Mosaic
+# programs; caching them makes re-runs several times faster (first run
+# unaffected beyond cache writes).
+from transform360_tpu.utils.backend import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
