@@ -4,6 +4,7 @@ blur path (same taps, same non-isolated cross-seam border semantics)."""
 import dataclasses
 
 import numpy as np
+import pytest
 
 import jax.numpy as jnp
 
@@ -178,3 +179,13 @@ def test_pipeline_lane_path_e2e(rng, monkeypatch):
     assert got.shape == want.shape
     assert diff.max() <= 1, f"max diff {diff.max()}"
     assert (diff > 0).mean() < 0.005
+
+
+def test_blur_precision_env_validated(rng, monkeypatch):
+    """A typo'd TRANSFORM360_BLUR_PRECISION fails fast at plan build with
+    a clear error instead of an assert deep in kernel construction."""
+    monkeypatch.setenv("TRANSFORM360_BLUR_PRECISION", "hgih")
+    cfg = TransformConfig(interpolation_alg=Interpolation.CUBIC, **MONO)
+    plan = build_plan(cfg, 256, 80, 96, 64)
+    with pytest.raises(ValueError, match="TRANSFORM360_BLUR_PRECISION"):
+        build_blur_lane(plan.luma.blur, 80, 256)

@@ -164,3 +164,20 @@ def test_cli_plan_save_load(tmp_path, rng, capsys):
     cli_main(common + ["-o", str(out1), "--save-plan", str(plan_file)])
     cli_main(common + ["-o", str(out2), "--load-plan", str(plan_file)])
     assert out1.read_bytes() == out2.read_bytes()
+
+
+def test_split_i420_odd_dims():
+    """Odd-width/-height yuv420p frames (ceil-halved chroma) split
+    correctly from the flat byte stream — total bytes are not a multiple
+    of the width, so a [h*3/2, w] view cannot exist."""
+    from transform360_tpu.utils.video import _split_i420
+
+    w, h = 639, 481
+    cw, ch = (w + 1) // 2, (h + 1) // 2
+    n = w * h + 2 * cw * ch
+    buf = np.arange(n, dtype=np.int64).astype(np.uint8)
+    y, u, v = _split_i420(buf, w, h)
+    assert y.shape == (h, w) and u.shape == (ch, cw) and v.shape == (ch, cw)
+    np.testing.assert_array_equal(y.reshape(-1), buf[: w * h])
+    np.testing.assert_array_equal(u.reshape(-1), buf[w * h : w * h + cw * ch])
+    np.testing.assert_array_equal(v.reshape(-1), buf[w * h + cw * ch :])

@@ -122,9 +122,15 @@ class Transform360:
     def _transform_native(self, y, u, v):
         from . import native
 
-        if self._pix_fmt.name != "yuv420p" or u is None or v is None:
+        pf = self._pix_fmt
+        if (
+            pf.n_planes != 3
+            or (pf.log2_chroma_w, pf.log2_chroma_h) != (1, 1)
+            or u is None
+            or v is None
+        ):
             raise ValueError(
-                "the native backend supports yuv420p 3-plane frames only"
+                "the native backend supports 4:2:0 3-plane frames only"
             )
 
         y, u, v = (np.asarray(p, np.uint8) for p in (y, u, v))
@@ -142,11 +148,9 @@ class Transform360:
             self._native = native.NativeTransform(cfg)
         if y.ndim == 2:
             return self._native.transform_frame(y, u, v, self._out_w, self._out_h)
-        outs = [
-            self._native.transform_frame(y[k], u[k], v[k], self._out_w, self._out_h)
-            for k in range(y.shape[0])
-        ]
-        return tuple(np.stack([o[i] for o in outs]) for i in range(3))
+        # batch: the C engine's frame-pool runner (one worker per frame,
+        # maps generated once) — the CPU analog of the TPU batch axis
+        return self._native.transform_frames(y, u, v, self._out_w, self._out_h)
 
     def transform_frame_plane(
         self, plane, map_plane_index: int, in_w: int, in_h: int

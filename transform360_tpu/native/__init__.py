@@ -161,6 +161,11 @@ class NativeTransform:
         self._h = lib.T360_new(ctypes.byref(ctx))
         if not self._h:
             raise MemoryError("T360_new failed")
+        # generated-map memo: the C engine recomputes on every
+        # T360_generateMapForPlane call (like the reference's
+        # generateMapForPlane); the lazy once-per-stream behavior lives
+        # here, mirroring vf_transform360.c:346-352.
+        self._maps = {}
 
     def __del__(self):
         h = getattr(self, "_h", None)
@@ -171,11 +176,15 @@ class NativeTransform:
     def generate_map_for_plane(
         self, in_w: int, in_h: int, out_w: int, out_h: int, plane_idx: int
     ) -> None:
+        key = (in_w, in_h, out_w, out_h, plane_idx)
+        if self._maps.get(plane_idx) == key:
+            return
         ok = self._lib.T360_generateMapForPlane(
             self._h, in_w, in_h, out_w, out_h, plane_idx
         )
         if not ok:
             raise ValueError("T360_generateMapForPlane failed")
+        self._maps[plane_idx] = key
 
     def transform_frame_plane(
         self,

@@ -253,8 +253,17 @@ def build_blur_lane(
         # (53.5 dB worst vs 57.7 with the split; both above the 50 dB
         # bar).  "default" remains the fast knob (~6 ms less per 4K pass,
         # +7% flagship throughput) for callers that accept 53 dB.
-        precision=os.environ.get("TRANSFORM360_BLUR_PRECISION", "high"),
+        precision=_env_precision(),
     )
+
+
+def _env_precision() -> str:
+    p = os.environ.get("TRANSFORM360_BLUR_PRECISION", "high")
+    if p not in _PRECISIONS:
+        raise ValueError(
+            f"TRANSFORM360_BLUR_PRECISION={p!r}: must be one of {_PRECISIONS}"
+        )
+    return p
 
 
 def _make_kernel(plan: BlurLanePlan):

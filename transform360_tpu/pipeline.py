@@ -120,17 +120,12 @@ def _lane_chunked(pp: PlanePlan, lane, x, interpret):
             ct = blur_lane(bl, ct, interpret=interpret)
         o = remap_lane_hwb(lane, ct, interpret=interpret)
         if fix is not None:
-            # exact BORDER_TRANSPARENT partial footprints (lane layout:
-            # gather taps along the flattened [H*W] leading axis)
-            pos, idx, w, a = fix
-            acc = jnp.asarray(a)[:, None]
-            ct_flat = ct.reshape(-1, 128)
-            for t in range(idx.shape[0]):
-                g = jnp.take(ct_flat, jnp.asarray(idx[t]), axis=0)
-                acc = acc + jnp.asarray(w[t])[:, None] * g.astype(jnp.float32)
-            vals = _round_u8(acc).T  # [128, P]
+            # exact BORDER_TRANSPARENT partial footprints — same math as
+            # the window-gather path (sampling.fixup_values); the lane
+            # layout is transposed to its [B, H*W] contract
+            vals = _round_u8(fixup_values(fix, ct.reshape(-1, 128).T))
             of = o.reshape(o.shape[0], -1)
-            o = of.at[:, jnp.asarray(pos)].set(vals).reshape(o.shape)
+            o = of.at[:, jnp.asarray(fix[0])].set(vals).reshape(o.shape)
         outs.append(o)
     out = jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
     return out[:B]
@@ -290,11 +285,6 @@ def transform_frame_planes(plan: TransformPlan, planes):
 def transform_planes(plan: TransformPlan, y, u, v):
     """YUV 3-plane convenience over :func:`transform_frame_planes`."""
     return transform_frame_planes(plan, (y, u, v))
-
-
-# Alias used by benches/tools.
-_frame_step = transform_planes
-
 
 def transform_batch(
     plan: TransformPlan,

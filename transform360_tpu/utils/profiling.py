@@ -100,18 +100,24 @@ def time_frame_step(
     from ..pipeline import plane_executor
 
     lfn, _, lc = plane_executor(plan.luma).staged_for(y)
-    cfn, _, cc = plane_executor(plan.chroma).staged_for(u)
+    if plan.chroma is None:  # single-plane formats (gray)
+        cfn, cc = None, None
+    else:
+        cfn, _, cc = plane_executor(plan.chroma).staged_for(u)
 
     def make(n):
         @jax.jit
         def chain(y, u, v, lc, cc):
             for _ in range(n):
-                oy, ou, ov = lfn(y, lc), cfn(u, cc), cfn(v, cc)
+                oy = lfn(y, lc)
                 # chain on ALL outputs (an unused plane would be DCE'd)
-                d = oy[0, 0, 0] + ou[0, 0, 0] + ov[0, 0, 0]
+                d = oy[0, 0, 0]
+                if cfn is not None:
+                    ou, ov = cfn(u, cc), cfn(v, cc)
+                    d = d + ou[0, 0, 0] + ov[0, 0, 0]
+                    u = u + d
+                    v = v + d
                 y = y + d
-                u = u + d
-                v = v + d
             return y, u, v
 
         return chain

@@ -44,12 +44,17 @@ def _probe_ffmpeg(path: str) -> Tuple[int, int, float]:
 
 
 def _split_i420(buf: np.ndarray, w: int, h: int):
-    """Split a packed I420 frame [h*3/2, w] into (y, u, v)."""
+    """Split a flat packed I420/yuv420p frame buffer into (y, u, v).
+
+    Operates on the flat byte stream (not a [h*3/2, w] view) so
+    odd-width/-height streams — whose chroma rows are ceil(w/2) bytes and
+    whose total byte count is not a multiple of ``w`` — split correctly.
+    """
     cw, ch = (w + 1) // 2, (h + 1) // 2
-    y = buf[:h, :]
-    uv = buf[h:, :].reshape(-1)
-    u = uv[: cw * ch].reshape(ch, cw)
-    v = uv[cw * ch : 2 * cw * ch].reshape(ch, cw)
+    buf = buf.reshape(-1)
+    y = buf[: w * h].reshape(h, w)
+    u = buf[w * h : w * h + cw * ch].reshape(ch, cw)
+    v = buf[w * h + cw * ch : w * h + 2 * cw * ch].reshape(ch, cw)
     return y, u, v
 
 
@@ -71,7 +76,7 @@ class VideoReader:
             self.width = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
             self.height = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
             self.fps = float(cap.get(cv2.CAP_PROP_FPS)) or 30.0
-            self._cap = cap
+            cap.release()
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
         w, h = self.width, self.height
@@ -90,8 +95,7 @@ class VideoReader:
                     raw = proc.stdout.read(frame_bytes)
                     if len(raw) < frame_bytes:
                         break
-                    buf = np.frombuffer(raw, np.uint8).reshape(-1, w)
-                    yield _split_i420(buf, w, h)
+                    yield _split_i420(np.frombuffer(raw, np.uint8), w, h)
                     n += 1
             finally:
                 proc.stdout.close()
@@ -100,14 +104,21 @@ class VideoReader:
         else:
             import cv2
 
-            while not self.max_frames or n < self.max_frames:
-                ok, bgr = self._cap.read()
-                if not ok:
-                    break
-                i420 = cv2.cvtColor(bgr, cv2.COLOR_BGR2YUV_I420)
-                yield _split_i420(i420, w, h)
-                n += 1
-            self._cap.release()
+            # open per iteration so the reader is re-iterable, matching
+            # the ffmpeg backend (which re-spawns the decoder)
+            cap = cv2.VideoCapture(self.path)
+            if not cap.isOpened():
+                raise IOError(f"cannot open video {self.path!r}")
+            try:
+                while not self.max_frames or n < self.max_frames:
+                    ok, bgr = cap.read()
+                    if not ok:
+                        break
+                    i420 = cv2.cvtColor(bgr, cv2.COLOR_BGR2YUV_I420)
+                    yield _split_i420(i420, w, h)
+                    n += 1
+            finally:
+                cap.release()
 
 
 class VideoWriter:
@@ -130,6 +141,12 @@ class VideoWriter:
         else:
             import cv2
 
+            if width % 2 or height % 2:
+                raise IOError(
+                    "the cv2 encode fallback needs even dimensions "
+                    f"(I420 color conversion); got {width}x{height} — "
+                    "install ffmpeg for odd-dimension output"
+                )
             ext = path.rsplit(".", 1)[-1].lower()
             fourcc = {"mp4": "mp4v", "m4v": "mp4v", "mov": "mp4v"}.get(
                 ext, "MJPG"
