@@ -155,3 +155,14 @@ def test_native_frame_pool_matches_per_frame(rng):
         assert np.array_equal(oy[i], sy), f"frame {i} Y differs"
         assert np.array_equal(ou[i], su), f"frame {i} U differs"
         assert np.array_equal(ov[i], sv), f"frame {i} V differs"
+
+
+def test_native_rejects_unresolved_guess():
+    """GUESS stereo must be resolved before engine construction (the
+    reference filter shell resolves it from aspect ratios before the
+    engine ever sees the config — vf_transform360.c:178-196); the C
+    engine's generateMap also returns failure rather than silently
+    building a wrong eye mapping."""
+    cfg = TransformConfig()  # defaults leave both formats GUESS
+    with pytest.raises(ValueError, match="GUESS"):
+        native.NativeTransform(cfg)

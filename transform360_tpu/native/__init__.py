@@ -152,6 +152,16 @@ class NativeTransform:
     """
 
     def __init__(self, cfg: TransformConfig):
+        from ..config import StereoFormat
+
+        if StereoFormat.GUESS in (
+            cfg.input_stereo_format,
+            cfg.output_stereo_format,
+        ):
+            raise ValueError(
+                "resolve GUESS stereo formats before constructing the "
+                "native engine (config.resolve_stereo_formats)"
+            )
         lib = _load()
         if lib is None:
             raise RuntimeError(f"native engine unavailable: {_build_error}")

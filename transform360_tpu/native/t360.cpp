@@ -413,10 +413,15 @@ static bool transformPos(const Ctx& c, float x, float y, float* outX,
 // Prefilter plan (VideoFrameTransform.cpp:77-94, 210-501)
 // ---------------------------------------------------------------------------
 
-static std::vector<float> calcKernel(float sigma) {
-  int half = (int)(sigma * 2);
+// sigma stays double until the half-length truncation, which narrows to
+// float exactly like filtering.calculate_kernel (f32(sigma) * f32(2);
+// the reference's `int boxHalfLength = sigma * 2` on a C++ float) — the
+// narrowing point decides kernel length at exact-integer boundaries, so
+// both engines must narrow at the same spot.
+static std::vector<float> calcKernel(double sigma) {
+  int half = (int)((float)sigma * 2.0f);
   std::vector<float> k(2 * half + 1);
-  double sc = std::abs(sigma) < kEps ? 0.0 : 0.5 / ((double)sigma * sigma);
+  double sc = std::abs(sigma) < kEps ? 0.0 : 0.5 / (sigma * sigma);
   double sum = 0;
   for (int u = -half; u <= half; ++u) {
     double v = std::exp(-(u * (double)u * sc));
@@ -465,11 +470,12 @@ struct Segment {
   std::vector<float> kx, ky;
 };
 
-static void bandSegments(const Ctx& c, int top, int bottom, float angle,
+static void bandSegments(const Ctx& c, int top, int bottom, double angle,
                          float sigmaY, const std::vector<float>& kernelY,
                          int inW, int inH, std::vector<Segment>& out) {
-  float sigmaX =
-      std::min(0.5 * inW, sigmaY / (std::cos((double)angle) + kEps));
+  // double until calcKernel's narrow, matching filtering.py's f64 math
+  double sigmaX =
+      std::min(0.5 * inW, (double)sigmaY / (std::cos(angle) + kEps));
   std::vector<float> kernelX = calcKernel(sigmaX);
   int nhs = c.adjust_kernel ? c.num_horizontal_segments : 1;
   int segW = (int)std::ceil(1.0 * inW / nhs);
@@ -482,12 +488,12 @@ static void bandSegments(const Ctx& c, int top, int bottom, float angle,
     s.width = width;
     s.height = bottom - top + 1;
     if (c.adjust_kernel) {
-      float avgYaw =
+      double avgYaw =
           2 * kPi * ((i * segW + 0.5 * width) - 0.5 * inW) / inW;
-      float avgPitch = 0.5 * kPi * (inH - top - bottom) / inH;
-      float yaw = c.fixed_yaw * kPi / 180.0f;
-      float pitch = c.fixed_pitch * kPi / 180.0f;
-      float off = std::abs(c.fixed_cube_offcenter_z);
+      double avgPitch = 0.5 * kPi * (inH - top - bottom) / inH;
+      double yaw = c.fixed_yaw * kPi / 180.0;
+      double pitch = c.fixed_pitch * kPi / 180.0;
+      double off = std::abs(c.fixed_cube_offcenter_z);
       if (std::abs(yaw) < kEps && std::abs(pitch) < kEps &&
           (std::abs(c.fixed_cube_offcenter_x) > kEps ||
            std::abs(c.fixed_cube_offcenter_y) > kEps ||
@@ -555,12 +561,12 @@ static std::vector<Segment> filteringConfig(const Ctx& c, int inW, int inH,
   auto bandsFrom = [&](int startTop, int startBottom) {
     for (int bottom = startBottom; bottom >= 0; bottom -= baseH) {
       int top = std::max(bottom - baseH + 1, 0);
-      float angle = 0.5 * kPi * (inH - top - bottom) / inH;
+      double angle = 0.5 * kPi * (inH - top - bottom) / inH;
       bandSegments(c, top, bottom, angle, sigmaY, kernelY, inW, inH, segs);
     }
     for (int top = startTop; top < inH; top += baseH) {
       int bottom = std::min(top + baseH - 1, inH - 1);
-      float angle = 0.5 * kPi * (top + bottom - inH) / inH;
+      double angle = 0.5 * kPi * (top + bottom - inH) / inH;
       bandSegments(c, top, bottom, angle, sigmaY, kernelY, inW, inH, segs);
     }
   };
@@ -680,7 +686,7 @@ struct PlanePlanN {
   int taps = 2, firstTap = 0;
 };
 
-static void remapPlane(const Ctx& c, const PlanePlanN& p, const uint8_t* src,
+static void remapPlane(const PlanePlanN& p, const uint8_t* src,
                        int sstride, uint8_t* dst, int dstride, int fill) {
   const int T = p.taps;
   const int H = p.inH, W = p.inW;
@@ -808,6 +814,12 @@ static bool generateMap(Engine* e, int inW, int inH, int outW, int outH,
   const Ctx& c = e->ctx;
   if (inW <= 0 || inH <= 0 || outW <= 0 || outH <= 0) return false;
   if (c.num_vertical_segments < 2 || c.num_horizontal_segments < 1)
+    return false;
+  // GUESS must be resolved by the caller from frame aspect ratios (the
+  // filter shell's job, vf_transform360.c:178-196); the geometry below
+  // would otherwise treat it as a bogus stereo mode and silently build
+  // a wrong map.
+  if (c.input_stereo_format == S_GUESS || c.output_stereo_format == S_GUESS)
     return false;
   PlanePlanN p;
   p.inW = inW;
@@ -974,11 +986,11 @@ static bool transformFramePlane(Engine* e, const uint8_t* in, uint8_t* out,
   }
 
   if (p.scaledW == outW && p.scaledH == outH) {
-    remapPlane(c, p, src, sstride, out, outStride, fill);
+    remapPlane(p, src, sstride, out, outStride, fill);
   } else {
     std::vector<uint8_t> scaled((size_t)p.scaledW * p.scaledH,
                                 (uint8_t)fill);
-    remapPlane(c, p, src, sstride, scaled.data(), p.scaledW, fill);
+    remapPlane(p, src, sstride, scaled.data(), p.scaledW, fill);
     areaResize(scaled.data(), p.scaledW, p.scaledH, p.scaledW, out, outW,
                outH, outStride);
   }

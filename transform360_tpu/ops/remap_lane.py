@@ -374,7 +374,7 @@ def build_lane_remap(spec: SampleSpec, fill: float) -> Optional[LaneRemapPlan]:
             ys = slice(ti * TH, (ti + 1) * TH)
             xs = slice(tj * TW, (tj + 1) * TW)
             by = by_p[ys, xs].T.reshape(-1)
-            bx = (bx_p[ys, xs] + (0 if spec.wrap else 0)).T.reshape(-1)
+            bx = bx_p[ys, xs].T.reshape(-1)
             fxi = fxi_p[ys, xs].T.reshape(-1)
             fb_idx[j] = by * wp + bx
             wy = wy_all[:, ys, xs].reshape(T, TH, TW).transpose(0, 2, 1)
