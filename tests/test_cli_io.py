@@ -143,6 +143,41 @@ def test_cli_video_output(tmp_path, capsys):
     assert psnr(got[0][0], ey) >= 28.0  # lossy codec round trip
 
 
+def test_cli_tail_batch_padding(tmp_path, rng, capsys):
+    """A partial final batch is padded to the steady-state batch shape so
+    the shape-specialized executors are traced exactly once, and the
+    padded frames never reach the output."""
+    from transform360_tpu import open_filter, pipeline
+
+    path, (y, u, v) = make_stream(tmp_path, rng, 5, 128, 64)
+    out = tmp_path / "out.yuv"
+    vf = (
+        "cube_edge_length=32:input_stereo_format=mono:"
+        "interpolation_alg=linear:enable_low_pass_filter=0"
+    )
+    pipeline.clear_executor_cache()
+    rc = cli_main(
+        ["--vf", vf, "--input-size", "128x64", "-i", str(path),
+         "-o", str(out), "--batch", "4", "--stats"]
+    )
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip())
+    assert stats["frames"] == 5
+    assert out.stat().st_size == 5 * frame_size_bytes(96, 64)
+    # one staged shape per plane executor: the 1-frame tail reused the
+    # batch-4 program instead of tracing a second one
+    assert pipeline._EXEC_CACHE
+    assert all(
+        len(ex._by_shape) == 1 for ex in pipeline._EXEC_CACHE.values()
+    )
+    t = open_filter(vf, 128, 64)
+    oy, ou, ov = read_yuv420_batch(str(out), 96, 64)
+    ey, eu, ev = t.transform(y, u, v)
+    np.testing.assert_array_equal(oy, np.asarray(ey))
+    np.testing.assert_array_equal(ou, np.asarray(eu))
+    np.testing.assert_array_equal(ov, np.asarray(ev))
+
+
 def test_cli_raw_input_requires_size(tmp_path):
     rc = cli_main(
         ["--vf", "w=64:h=32", "-i", str(tmp_path / "x.yuv"), "-o",

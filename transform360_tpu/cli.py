@@ -134,14 +134,25 @@ def main(argv=None) -> int:
         batches = [[] for _ in range(pf.n_planes)]
 
         def flush():
-            if not batches[0]:
+            n = len(batches[0])
+            if not n:
                 return
             tb = time.perf_counter()
-            outs = t.transform(*(np.stack(b) for b in batches))
+            stacked = [np.stack(b) for b in batches]
+            if n < args.batch:
+                # Pad a partial tail batch to the steady-state shape: the
+                # executors are shape-specialized, so an odd-sized final
+                # batch would otherwise trace and compile a whole second
+                # program (minutes on remote backends) for a few frames.
+                stacked = [
+                    np.concatenate([s, np.repeat(s[-1:], args.batch - n, 0)])
+                    for s in stacked
+                ]
+            outs = t.transform(*stacked)
             if not isinstance(outs, tuple):
                 outs = (outs,)
-            stats.record(outs[0].shape[0], time.perf_counter() - tb)
-            for k in range(outs[0].shape[0]):
+            stats.record(n, time.perf_counter() - tb)
+            for k in range(n):
                 yield tuple(o[k] for o in outs)
             for b in batches:
                 b.clear()
