@@ -178,6 +178,53 @@ def test_cli_tail_batch_padding(tmp_path, rng, capsys):
     np.testing.assert_array_equal(ov, np.asarray(ev))
 
 
+@pytest.mark.parametrize("prefetch", [0, 2])
+def test_cli_overlapped_pipeline(tmp_path, rng, prefetch):
+    """The threaded decode + async-dispatch pipeline (any --prefetch
+    depth, including fully synchronous 0) must produce frames in order,
+    byte-identical to the direct API."""
+    from transform360_tpu import open_filter
+
+    vf = (
+        "cube_edge_length=32:input_stereo_format=mono:"
+        "interpolation_alg=linear:enable_low_pass_filter=0"
+    )
+    path, (y, u, v) = make_stream(tmp_path, rng, 10, 128, 64)
+    out = tmp_path / "out.yuv"
+    rc = cli_main(
+        ["--vf", vf, "--input-size", "128x64", "-i", str(path),
+         "-o", str(out), "--batch", "3", "--prefetch", str(prefetch)]
+    )
+    assert rc == 0
+    oy, ou, ov = read_yuv420_batch(str(out), 96, 64)
+    ey, eu, ev = open_filter(vf, 128, 64).transform(y, u, v)
+    np.testing.assert_array_equal(oy, np.asarray(ey))
+    np.testing.assert_array_equal(ou, np.asarray(eu))
+    np.testing.assert_array_equal(ov, np.asarray(ev))
+
+
+def test_cli_reader_error_propagates(tmp_path):
+    """A decode failure on the reader thread must surface in the main
+    thread (the raw stream is opened lazily on the reader thread), not
+    hang or silently truncate."""
+    out = tmp_path / "out.yuv"
+    with pytest.raises(FileNotFoundError):
+        cli_main(
+            ["--vf", "w=64:h=32", "--input-size", "64x32",
+             "-i", str(tmp_path / "missing.yuv"), "-o", str(out)]
+        )
+
+    # an empty stream is not an error: zero frames in, zero bytes out
+    empty = tmp_path / "in.yuv"
+    empty.write_bytes(b"")
+    rc = cli_main(
+        ["--vf", "w=64:h=32", "--input-size", "64x32",
+         "-i", str(empty), "-o", str(out)]
+    )
+    assert rc == 0
+    assert out.stat().st_size == 0
+
+
 def test_cli_raw_input_requires_size(tmp_path):
     rc = cli_main(
         ["--vf", "w=64:h=32", "-i", str(tmp_path / "x.yuv"), "-o",

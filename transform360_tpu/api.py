@@ -109,15 +109,28 @@ class Transform360:
         lazily on the first frame, like the reference filter.  Returns
         numpy uint8 planes (a bare array for single-plane formats).
         """
+        out = self.transform_async(y, u, v)
+        if isinstance(out, tuple):
+            return tuple(np.asarray(o) for o in out)
+        return np.asarray(out)
+
+    def transform_async(self, y, u=None, v=None):
+        """Submit a transform without waiting for the result.
+
+        Same contract as :meth:`transform` but returns device arrays
+        under JAX's asynchronous dispatch: the call returns as soon as the
+        work is enqueued, so the host can decode/encode neighboring
+        batches while the chip computes (the pipelined-IO analog of the
+        reference's decode->filter->encode FFmpeg graph running its
+        stages concurrently).  ``np.asarray`` the results to wait.  On
+        the native backend this is synchronous (numpy in, numpy out).
+        """
         if self._backend == "native":
             return self._transform_native(y, u, v)
         y = jnp.asarray(y)
         in_h, in_w = y.shape[-2:]
         plan = self._ensure_plan(in_w, in_h)
-        out = transform_batch(plan, y, u, v)
-        if isinstance(out, tuple):
-            return tuple(np.asarray(o) for o in out)
-        return np.asarray(out)
+        return transform_batch(plan, y, u, v)
 
     def _transform_native(self, y, u, v):
         from . import native

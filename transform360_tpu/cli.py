@@ -11,7 +11,10 @@ batching frames across the chip::
 Video containers (.mp4/.mkv/.avi/...) are decoded/encoded through the
 :mod:`.utils.video` shim (ffmpeg subprocess when available, OpenCV
 otherwise) — the drop-in analog of ``ffmpeg -vf transform360=...``
-(reference ``README.md:84-95``).  Raw planar YUV420 (.yuv/.raw/.i420)
+(reference ``README.md:84-95``).  Decode runs on its own thread and
+device batches are dispatched asynchronously (``--prefetch`` batches in
+flight), so host IO overlaps chip compute the way the reference's
+FFmpeg graph overlaps its decode/filter/encode stages.  Raw planar YUV420 (.yuv/.raw/.i420)
 streams are read/written directly and need ``--input-size``::
 
     python -m transform360_tpu.cli --vf "w=1024:h=512" \
@@ -21,8 +24,11 @@ streams are read/written directly and need ``--input-size``::
 from __future__ import annotations
 
 import argparse
+import queue
 import sys
+import threading
 import time
+from collections import deque
 
 import numpy as np
 
@@ -73,6 +79,11 @@ def build_parser() -> argparse.ArgumentParser:
              "yuv444p/yuv411p/yuv410p/gray); video containers are yuv420p",
     )
     p.add_argument("--batch", type=int, default=8, help="frames per device step")
+    p.add_argument(
+        "--prefetch", type=int, default=1,
+        help="batches in flight on the device while the host decodes/"
+             "encodes neighboring batches (0 = fully synchronous)",
+    )
     p.add_argument("--frames", type=int, default=0, help="max frames (0 = all)")
     p.add_argument(
         "--save-plan", default=None, help="serialize the built plan to this path"
@@ -130,14 +141,33 @@ def main(argv=None) -> int:
     stats = StageStats(stream=sys.stdout)
     t0 = time.perf_counter()
 
+    # Decode on a separate thread so container demux/decode overlaps the
+    # device step and the encode of earlier batches — the reference runs
+    # inside an FFmpeg graph whose decode/filter/encode stages likewise
+    # proceed concurrently.
+    inq: queue.Queue = queue.Queue(maxsize=max(2 * args.batch, 8))
+
+    def read_loop():
+        try:
+            for planes in frames_in:
+                inq.put(planes)
+            inq.put(None)
+        except BaseException as e:  # surfaced in the consumer
+            inq.put(e)
+
+    threading.Thread(target=read_loop, daemon=True).start()
+
     def frames_out():
         batches = [[] for _ in range(pf.n_planes)]
+        # (n_real_frames, device arrays) of submitted-but-unretired
+        # batches; JAX dispatch is asynchronous, so up to --prefetch
+        # batches compute on the chip while the host works on others.
+        pending: deque = deque()
 
-        def flush():
+        def submit():
             n = len(batches[0])
             if not n:
                 return
-            tb = time.perf_counter()
             stacked = [np.stack(b) for b in batches]
             if n < args.batch:
                 # Pad a partial tail batch to the steady-state shape: the
@@ -148,21 +178,38 @@ def main(argv=None) -> int:
                     np.concatenate([s, np.repeat(s[-1:], args.batch - n, 0)])
                     for s in stacked
                 ]
-            outs = t.transform(*stacked)
-            if not isinstance(outs, tuple):
-                outs = (outs,)
-            stats.record(n, time.perf_counter() - tb)
-            for k in range(n):
-                yield tuple(o[k] for o in outs)
+            pending.append((n, t.transform_async(*stacked)))
             for b in batches:
                 b.clear()
 
-        for planes in frames_in:
-            for b, p in zip(batches, planes):
+        def retire():
+            n, outs = pending.popleft()
+            if not isinstance(outs, tuple):
+                outs = (outs,)
+            tb = time.perf_counter()
+            host = [np.asarray(o) for o in outs]  # waits for the device
+            # "seconds" counts time BLOCKED on device results; with
+            # --prefetch > 0 compute hidden behind host IO is excluded
+            # (wall_seconds is the honest end-to-end number).
+            stats.record(n, time.perf_counter() - tb)
+            for k in range(n):
+                yield tuple(h[k] for h in host)
+
+        while True:
+            item = inq.get()
+            if item is None:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            for b, p in zip(batches, item):
                 b.append(p)
             if len(batches[0]) >= args.batch:
-                yield from flush()
-        yield from flush()
+                submit()
+                while len(pending) > max(args.prefetch, 0):
+                    yield from retire()
+        submit()
+        while pending:
+            yield from retire()
 
     if is_raw_path(args.output):
         write_yuv420_frames(args.output, frames_out())

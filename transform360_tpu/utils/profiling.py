@@ -152,16 +152,23 @@ class StageStats:
         self.seconds = 0.0
 
     def record(self, n_frames: int, seconds: float) -> None:
+        """``seconds`` is the time spent BLOCKED waiting for device
+        results; with overlapped IO the compute hidden behind host work
+        is excluded by design."""
         self.frames += n_frames
         self.batches += 1
         self.seconds += seconds
 
-    def emit(self, **extra) -> None:
+    def emit(self, wall_seconds: Optional[float] = None, **extra) -> None:
+        """One JSON line.  ``fps`` is end-to-end (frames / wall_seconds)
+        when a wall time is given; otherwise frames / blocked time."""
+        denom = wall_seconds if wall_seconds else self.seconds
         payload = {
             "frames": self.frames,
             "batches": self.batches,
-            "seconds": round(self.seconds, 4),
-            "fps": round(self.frames / self.seconds, 2) if self.seconds else None,
+            "blocked_seconds": round(self.seconds, 4),
+            "fps": round(self.frames / denom, 2) if denom else None,
+            **({"wall_seconds": wall_seconds} if wall_seconds is not None else {}),
             **extra,
         }
         print(json.dumps(payload), file=self.stream)
