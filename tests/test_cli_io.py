@@ -225,6 +225,42 @@ def test_cli_reader_error_propagates(tmp_path):
     assert out.stat().st_size == 0
 
 
+def test_cli_consumer_failure_releases_reader(tmp_path, rng):
+    """If the consumer dies mid-stream (here: the output path is a
+    directory), the reader thread must not stay blocked on the bounded
+    queue pinning the input file — in-process callers would leak one
+    thread + file handle per failed invocation."""
+    import threading
+    import time as _time
+
+    path, _ = make_stream(tmp_path, rng, 64, 128, 64)  # >> queue capacity
+    before = threading.active_count()
+    with pytest.raises(OSError):  # writer open fails on a directory
+        cli_main(
+            ["--vf", "w=64:h=32", "--input-size", "128x64",
+             "-i", str(path), "-o", str(tmp_path), "--batch", "2"]
+        )
+    deadline = _time.monotonic() + 5.0
+    while threading.active_count() > before and _time.monotonic() < deadline:
+        _time.sleep(0.05)
+    assert threading.active_count() <= before
+
+
+def test_cli_output_validation_before_reader(tmp_path, rng):
+    """Invalid output combos (non-420 pix-fmt + container output) must be
+    rejected before the decode thread starts."""
+    import threading
+
+    path, _ = make_stream(tmp_path, rng, 2, 64, 32)
+    before = threading.active_count()
+    rc = cli_main(
+        ["--vf", "w=32:h=16", "--input-size", "64x32", "--pix-fmt",
+         "yuv444p", "-i", str(path), "-o", str(tmp_path / "out.mp4")]
+    )
+    assert rc == 2
+    assert threading.active_count() == before
+
+
 def test_cli_raw_input_requires_size(tmp_path):
     rc = cli_main(
         ["--vf", "w=64:h=32", "-i", str(tmp_path / "x.yuv"), "-o",

@@ -132,6 +132,12 @@ def main(argv=None) -> int:
         fps = args.fps or reader.fps
         frames_in = iter(reader)
 
+    if not is_raw_path(args.output) and pf.name != "yuv420p":
+        # validate before the reader thread starts (see read_loop)
+        print("error: video-container output requires yuv420p",
+              file=sys.stderr)
+        return 2
+
     t = open_filter(
         args.vf, in_w, in_h, eager=args.load_plan is None, pix_fmt=pf
     )
@@ -144,16 +150,34 @@ def main(argv=None) -> int:
     # Decode on a separate thread so container demux/decode overlaps the
     # device step and the encode of earlier batches — the reference runs
     # inside an FFmpeg graph whose decode/filter/encode stages likewise
-    # proceed concurrently.
+    # proceed concurrently.  The consumer sets `stop` on ANY exit (normal
+    # or error) so the reader never stays blocked on the bounded queue —
+    # an abandoned daemon thread would pin the open input file / decode
+    # subprocess for the life of an in-process caller.
     inq: queue.Queue = queue.Queue(maxsize=max(2 * args.batch, 8))
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        while not stop.is_set():
+            try:
+                inq.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def read_loop():
         try:
             for planes in frames_in:
-                inq.put(planes)
-            inq.put(None)
+                if not _put(planes):
+                    return
+            _put(None)
         except BaseException as e:  # surfaced in the consumer
-            inq.put(e)
+            _put(e)
+        finally:
+            close = getattr(frames_in, "close", None)
+            if close is not None:
+                close()
 
     threading.Thread(target=read_loop, daemon=True).start()
 
@@ -211,17 +235,16 @@ def main(argv=None) -> int:
         while pending:
             yield from retire()
 
-    if is_raw_path(args.output):
-        write_yuv420_frames(args.output, frames_out())
-    else:
-        if pf.name != "yuv420p":
-            print("error: video-container output requires yuv420p",
-                  file=sys.stderr)
-            return 2
-        out_w, out_h = t.output_dims()
-        with VideoWriter(args.output, out_w, out_h, fps) as w:
-            for oy, ou, ov in frames_out():
-                w.write(oy, ou, ov)
+    try:
+        if is_raw_path(args.output):
+            write_yuv420_frames(args.output, frames_out())
+        else:
+            out_w, out_h = t.output_dims()
+            with VideoWriter(args.output, out_w, out_h, fps) as w:
+                for oy, ou, ov in frames_out():
+                    w.write(oy, ou, ov)
+    finally:
+        stop.set()  # release a reader blocked on the full queue
     dt = time.perf_counter() - t0
 
     if args.save_plan:

@@ -162,10 +162,13 @@ class StageStats:
     def emit(self, wall_seconds: Optional[float] = None, **extra) -> None:
         """One JSON line.  ``fps`` is end-to-end (frames / wall_seconds)
         when a wall time is given; otherwise frames / blocked time."""
-        denom = wall_seconds if wall_seconds else self.seconds
+        denom = wall_seconds if wall_seconds is not None else self.seconds
         payload = {
             "frames": self.frames,
             "batches": self.batches,
+            # "seconds" kept as a deprecated alias of blocked_seconds for
+            # consumers of the pre-overlap schema
+            "seconds": round(self.seconds, 4),
             "blocked_seconds": round(self.seconds, 4),
             "fps": round(self.frames / denom, 2) if denom else None,
             **({"wall_seconds": wall_seconds} if wall_seconds is not None else {}),
