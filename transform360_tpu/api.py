@@ -46,6 +46,7 @@ class Transform360:
         out_h: Optional[int] = None,
         backend: str = "auto",
         pix_fmt: str = "yuv420p",
+        mesh=None,
     ):
         """``backend``: "auto" (TPU Pallas / XLA pipeline), or "native"
         (the dependency-free C++ engine — CPU fallback with the reference's
@@ -54,15 +55,25 @@ class Transform360:
         ``pix_fmt``: planar pixel format; chroma plane dims derive from
         its log2 chroma shifts (``vf_transform360.c:87-97``), so
         yuv422p/yuv444p/gray run through the same two-map-plane machinery.
+
+        ``mesh``: optional ``jax.sharding.Mesh`` (see
+        :func:`transform360_tpu.parallel.make_mesh`).  Batched inputs are
+        sharded on the frame axis across its devices — the multi-chip
+        replacement for the reference's pthread segment fan-out
+        (``VideoFrameTransform.cpp:592-604``); batch size must be a
+        multiple of the mesh size.
         """
         config.validate()
         if backend not in ("auto", "native"):
             raise ValueError(f"unknown backend {backend!r}")
+        if mesh is not None and backend == "native":
+            raise ValueError("mesh sharding requires the TPU backend")
         self._backend = backend
         self._cfg = config
         self._out_w = out_w
         self._out_h = out_h
         self._pix_fmt = get_pixel_format(pix_fmt)
+        self._mesh = mesh
         self._plan: Optional[TransformPlan] = None
         self._native = None
 
@@ -127,6 +138,20 @@ class Transform360:
         """
         if self._backend == "native":
             return self._transform_native(y, u, v)
+        if self._mesh is not None and np.ndim(y) == 3:
+            from .parallel import shard_batch
+
+            n = self._mesh.size
+            if np.shape(y)[0] % n:
+                raise ValueError(
+                    f"batch {np.shape(y)[0]} is not divisible by the "
+                    f"mesh size {n}"
+                )
+            planes = [p for p in (y, u, v) if p is not None]
+            sharded = shard_batch(self._mesh, *planes)
+            if not isinstance(sharded, tuple):
+                sharded = (sharded,)
+            y, u, v = (tuple(sharded) + (None, None))[:3]
         y = jnp.asarray(y)
         in_h, in_w = y.shape[-2:]
         plan = self._ensure_plan(in_w, in_h)
@@ -201,16 +226,20 @@ def open_filter(
     eager: bool = True,
     backend: str = "auto",
     pix_fmt: str = "yuv420p",
+    mesh=None,
 ) -> Transform360:
     """FFmpeg-shell analog: parse the option string, negotiate output
     geometry against the input size, and return a ready engine.
 
     ``pix_fmt`` plays the role of the inlink's negotiated pixel format
     (the option string itself has no such key, matching the reference).
+    ``mesh``: shard batches over a device mesh (see :class:`Transform360`).
     """
     opts = parse_options(options)
     out_w, out_h, cfg = negotiate_output_geometry(opts, in_w, in_h)
-    t = Transform360(cfg, out_w, out_h, backend=backend, pix_fmt=pix_fmt)
+    t = Transform360(
+        cfg, out_w, out_h, backend=backend, pix_fmt=pix_fmt, mesh=mesh
+    )
     if eager and backend != "native":
         t.generate_map(in_w, in_h)
     return t

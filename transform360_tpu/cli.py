@@ -80,6 +80,11 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--batch", type=int, default=8, help="frames per device step")
     p.add_argument(
+        "--devices", type=int, default=1,
+        help="shard each batch over this many chips (0 = all available); "
+             "--batch must be a multiple",
+    )
+    p.add_argument(
         "--prefetch", type=int, default=1,
         help="batches in flight on the device while the host decodes/"
              "encodes neighboring batches (0 = fully synchronous)",
@@ -138,8 +143,32 @@ def main(argv=None) -> int:
               file=sys.stderr)
         return 2
 
+    mesh = None
+    if args.devices != 1:
+        import jax
+
+        from .parallel import make_mesh
+
+        avail = jax.devices()
+        n = len(avail) if args.devices == 0 else args.devices
+        if n > len(avail):
+            print(
+                f"error: --devices {n} but only {len(avail)} available",
+                file=sys.stderr,
+            )
+            return 2
+        if args.batch % n:
+            print(
+                f"error: --batch {args.batch} is not a multiple of "
+                f"--devices {n}",
+                file=sys.stderr,
+            )
+            return 2
+        mesh = make_mesh(avail[:n])
+
     t = open_filter(
-        args.vf, in_w, in_h, eager=args.load_plan is None, pix_fmt=pf
+        args.vf, in_w, in_h, eager=args.load_plan is None, pix_fmt=pf,
+        mesh=mesh,
     )
     if args.load_plan:
         t.load_plan(args.load_plan)
