@@ -299,3 +299,16 @@ def test_split_i420_odd_dims():
     np.testing.assert_array_equal(y.reshape(-1), buf[: w * h])
     np.testing.assert_array_equal(u.reshape(-1), buf[w * h : w * h + cw * ch])
     np.testing.assert_array_equal(v.reshape(-1), buf[w * h + cw * ch :])
+
+
+def test_parse_frame_rate():
+    """ffprobe r_frame_rate parsing: fractions, integers, and the "0/0"
+    degenerate report (regression: ZeroDivisionError)."""
+    from transform360_tpu.utils.video import parse_frame_rate
+
+    assert parse_frame_rate("30000/1001") == pytest.approx(29.97, abs=0.01)
+    assert parse_frame_rate("25/1") == 25.0
+    assert parse_frame_rate("24") == 24.0
+    assert parse_frame_rate("0/0") == 30.0
+    assert parse_frame_rate("0/1", default=15.0) == 15.0
+    assert parse_frame_rate("garbage") == 30.0

@@ -166,3 +166,22 @@ def test_native_rejects_unresolved_guess():
     cfg = TransformConfig()  # defaults leave both formats GUESS
     with pytest.raises(ValueError, match="GUESS"):
         native.NativeTransform(cfg)
+
+
+def test_native_tiny_plane_lanczos_barrel(rng):
+    """8-tap lanczos footprints on a chroma plane shorter than 5 px used to
+    compute out-of-range reflect indices (OOB reads).  Must run cleanly and
+    deterministically with all outputs well-formed."""
+    cfg = TransformConfig(
+        **MONO,
+        output_layout=Layout.BARREL,
+        interpolation_alg=Interpolation.LANCZOS4,
+        enable_low_pass_filter=0,
+    )
+    y, u, v = make_yuv(rng, 8, 16)  # chroma plane 8x4: taps overshoot n-1
+    t = native.NativeTransform(cfg)
+    a = t.transform_frame(y, u, v, 32, 16)
+    b = t.transform_frame(y, u, v, 32, 16)
+    for p, q in zip(a, b):
+        np.testing.assert_array_equal(p, q)
+    assert a[1].shape == (8, 16)

@@ -438,3 +438,32 @@ def test_plan_memoization_and_clear():
     assert build_plan(cfg, 256, 128, 96, 64, pix_fmt="gray") is not a
     clear_plan_cache()
     assert build_plan(cfg, 256, 128, 96, 64) is not a
+
+
+def test_missing_planes_rejected(rng):
+    """Passing fewer planes than the pixel format declares must raise, not
+    silently transform the luma plane alone (regression)."""
+    vf = ("w=48:h=32:input_stereo_format=mono:"
+          "interpolation_alg=linear:enable_low_pass_filter=0")
+    t = open_filter(vf, 128, 64)
+    y, u, v = make_yuv(rng, 64, 128)
+    with pytest.raises(ValueError, match="expected 3 plane"):
+        t.transform(y)
+    with pytest.raises(ValueError, match="expected 3 plane"):
+        t.transform(y, u)
+    # the full plane set still works
+    oy, ou, ov = t.transform(y, u, v)
+    assert np.asarray(oy).shape == (32, 48)
+
+
+def test_load_plan_pix_fmt_mismatch(tmp_path, rng):
+    """A saved plan carries its pix_fmt; loading it into an engine built
+    for a different format must fail loudly instead of corrupting chroma."""
+    vf = ("w=48:h=32:input_stereo_format=mono:"
+          "interpolation_alg=linear:enable_low_pass_filter=0")
+    t = open_filter(vf, 128, 64)
+    path = tmp_path / "plan420.npz"
+    t.save_plan(str(path))
+    t444 = open_filter(vf, 128, 64, eager=False, pix_fmt="yuv444p")
+    with pytest.raises(ValueError, match="pix_fmt"):
+        t444.load_plan(str(path))

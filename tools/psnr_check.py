@@ -66,6 +66,7 @@ def main():
     # kernel, which once masked a lane-blur precision regression)
     import transform360_tpu.pipeline as pl
 
+    orig_lane_min = pl.LANE_MIN_BATCH
     paths = [("lane", 1), ("window_gather", 10**9)]
     if len(sys.argv) > 2 and sys.argv[2] in ("lane", "window_gather"):
         paths = [p for p in paths if p[0] == sys.argv[2]]
@@ -89,7 +90,7 @@ def main():
             results[(name, path)] = db
             print(json.dumps({"config": name, "path": path, "psnr_db": db,
                               "backend": jax.default_backend()}), flush=True)
-    pl.LANE_MIN_BATCH = 9
+    pl.LANE_MIN_BATCH = orig_lane_min
 
     # config 5: batched stream — batch output must equal per-frame output
     # (byte equality holds within a kernel path, so check each path with
@@ -108,7 +109,7 @@ def main():
         batch_ok = batch_ok and ok
         print(json.dumps({"config": "batched_stream", "path": path,
                           "batch_matches_single": bool(ok)}), flush=True)
-    pl.LANE_MIN_BATCH = 9
+    pl.LANE_MIN_BATCH = orig_lane_min
 
     worst = min(min(d.values()) for d in results.values())
     ok = worst >= 50.0 and batch_ok

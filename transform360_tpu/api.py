@@ -215,6 +215,11 @@ class Transform360:
 
     def load_plan(self, path: str) -> None:
         plan = load_plan(path)
+        if plan.pix_fmt != self._pix_fmt.name:
+            raise ValueError(
+                f"plan was built for pix_fmt {plan.pix_fmt!r} but this "
+                f"engine is {self._pix_fmt.name!r}"
+            )
         self._plan = device_put_plan(plan)
         self._out_w, self._out_h = plan.out_w, plan.out_h
 

@@ -637,11 +637,16 @@ static inline int wrapi(int v, int n) {
   return v < 0 ? v + n : v;
 }
 
-// BORDER_REFLECT_101 for taps at most n-1 out of range (cv::remap's
-// borderType1 fallback for partially-inside BORDER_TRANSPARENT footprints)
+// BORDER_REFLECT_101 (cv::remap's borderType1 fallback for partially-
+// inside BORDER_TRANSPARENT footprints).  Loops like OpenCV's
+// borderInterpolate so taps arbitrarily far out of range (8-tap lanczos
+// on a plane narrower than 5 px) still land in [0, n).
 static inline int reflect101i(int v, int n) {
-  if (v < 0) v = -v;
-  if (v >= n) v = 2 * n - 2 - v;
+  if (n == 1) return 0;
+  while (v < 0 || v >= n) {
+    if (v < 0) v = -v;
+    else v = 2 * n - 2 - v;
+  }
   return v;
 }
 

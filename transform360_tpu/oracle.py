@@ -681,33 +681,9 @@ def transform_frame_yuv420(
     out_h: int,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Oracle full-frame transform: 2 map planes for 3 image planes
-    (vf_transform360.c:99-165,338-402)."""
-    from .config import chroma_dims
-
-    y, u, v = planes
-    in_h, in_w = y.shape
-    c_out_w, c_out_h = chroma_dims(out_w, out_h)
-    warp_luma = build_warp_map(cfg, in_w, in_h, out_w, out_h)
-    c_in_w, c_in_h = chroma_dims(in_w, in_h)
-    warp_chroma = build_warp_map(cfg, c_in_w, c_in_h, c_out_w, c_out_h)
-    cfgs_l = (
-        compute_filtering_configs(
-            cfg, in_w, in_h, warp_luma.shape[1], warp_luma.shape[0]
-        )
-        if cfg.enable_low_pass_filter
-        else None
-    )
-    cfgs_c = (
-        compute_filtering_configs(
-            cfg, c_in_w, c_in_h, warp_chroma.shape[1], warp_chroma.shape[0]
-        )
-        if cfg.enable_low_pass_filter
-        else None
-    )
-    out_y = transform_plane(cfg, y, warp_luma, out_w, out_h, 0, cfgs_l)
-    out_u = transform_plane(cfg, u, warp_chroma, c_out_w, c_out_h, 1, cfgs_c)
-    out_v = transform_plane(cfg, v, warp_chroma, c_out_w, c_out_h, 1, cfgs_c)
-    return out_y, out_u, out_v
+    (vf_transform360.c:99-165,338-402).  YUV420 convenience over
+    :func:`transform_frame_planar`."""
+    return transform_frame_planar(cfg, planes, out_w, out_h, "yuv420p")
 
 
 def transform_frame_planar(

@@ -265,14 +265,14 @@ def transform_frame_planes(plan: TransformPlan, planes):
     (``vf_transform360.c:372``: ``plane==1||2 ? 1 : 0``).  All chroma
     planes are stacked into ONE kernel invocation — they share every plan
     constant, so this divides the chroma launch/window overhead."""
+    if len(planes) != plan.n_planes:
+        raise ValueError(
+            f"expected {plan.n_planes} plane(s) for {plan.pix_fmt}, got "
+            f"{len(planes)}"
+        )
     outs = [plane_executor(plan.luma)(planes[0])]
     rest = planes[1:]
     if rest:
-        if plan.chroma is None:
-            raise ValueError(
-                f"plan is single-plane ({plan.pix_fmt}) but got "
-                f"{len(planes)} planes"
-            )
         chroma = plane_executor(plan.chroma)
         stacked = chroma(jnp.concatenate(rest, axis=0))
         off = 0

@@ -157,12 +157,17 @@ def make_sample_spec(
 
 
 def reflect101(idx, n: int, xp=np):
-    """OpenCV ``borderInterpolate(..., BORDER_REFLECT_101)`` for indices at
-    most n-1 out of range (true for all tap offsets here): -1 -> 1,
+    """OpenCV ``borderInterpolate(..., BORDER_REFLECT_101)``: -1 -> 1,
     n -> n-2.  This is how cv::remap resolves the outer taps of partially-
-    inside footprints under BORDER_TRANSPARENT (borderType1 fallback)."""
-    idx = xp.abs(idx)
-    return xp.where(idx >= n, 2 * n - 2 - idx, idx)
+    inside footprints under BORDER_TRANSPARENT (borderType1 fallback).
+    Closed form of OpenCV's reflect loop (period ``2n-2``), valid for taps
+    arbitrarily far out of range — an 8-tap lanczos footprint on a plane
+    narrower than 5 px overshoots by more than ``n-1``."""
+    if n == 1:
+        return xp.zeros_like(idx)
+    period = 2 * n - 2
+    r = xp.abs(idx) % period
+    return xp.where(r >= n, period - r, r)
 
 
 # ---------------------------------------------------------------------------

@@ -14,13 +14,40 @@ the ambient pin is healthy.
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 _CACHE_DIR = os.path.expanduser("~/.cache/transform360_tpu/jax_cache")
 
 
-def enable_compilation_cache(cache_dir: str = _CACHE_DIR) -> None:
-    """Point JAX's persistent compilation cache at ``cache_dir``.
+def _host_fingerprint() -> str:
+    """Hash of the host CPU's feature flags.
+
+    XLA:CPU caches AOT executables compiled for the *build* machine's CPU
+    features; loading them on a host with a different feature set can
+    SIGILL (XLA warns exactly this).  Scoping the cache directory by CPU
+    fingerprint keeps a home directory shared across heterogeneous
+    machines (NFS) safe.  TPU entries are unaffected either way — their
+    key includes the compiler build.
+    """
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
+                    return hashlib.sha256(feats.encode()).hexdigest()[:12]
+    except OSError:
+        pass
+    import platform
+
+    return hashlib.sha256(
+        f"{platform.machine()}-{platform.processor()}".encode()
+    ).hexdigest()[:12]
+
+
+def enable_compilation_cache(cache_dir: str | None = None) -> None:
+    """Point JAX's persistent compilation cache at ``cache_dir``
+    (default: a per-host-CPU subdirectory of ``~/.cache/transform360_tpu``).
 
     The full 4K pipeline takes minutes to compile over the remote-TPU
     tunnel; the on-disk cache makes every later process start (bench
@@ -29,6 +56,8 @@ def enable_compilation_cache(cache_dir: str = _CACHE_DIR) -> None:
     """
     import jax
 
+    if cache_dir is None:
+        cache_dir = os.path.join(_CACHE_DIR, _host_fingerprint())
     try:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)

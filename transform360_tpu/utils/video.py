@@ -38,9 +38,21 @@ def _probe_ffmpeg(path: str) -> Tuple[int, int, float]:
         capture_output=True, text=True, check=True,
     ).stdout.strip()
     w, h, rate = out.split(",")[:3]
+    return int(w), int(h), parse_frame_rate(rate)
+
+
+def parse_frame_rate(rate: str, default: float = 30.0) -> float:
+    """Parse an ffprobe ``r_frame_rate`` fraction ("30000/1001", "25/1").
+
+    ffprobe reports "0/0" for some streams (attached pictures, odd mkv):
+    fall back to ``default`` rather than dividing by zero.
+    """
     num, _, den = rate.partition("/")
-    fps = float(num) / float(den or 1)
-    return int(w), int(h), fps
+    try:
+        fps = float(num) / float(den or 1)
+    except (ValueError, ZeroDivisionError):
+        return default
+    return fps if fps > 0 and np.isfinite(fps) else default
 
 
 def _split_i420(buf: np.ndarray, w: int, h: int):
