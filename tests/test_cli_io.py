@@ -312,3 +312,54 @@ def test_parse_frame_rate():
     assert parse_frame_rate("0/0") == 30.0
     assert parse_frame_rate("0/1", default=15.0) == 15.0
     assert parse_frame_rate("garbage") == 30.0
+
+
+def test_read_exact_on_chunky_stream():
+    """Pipes return partial reads; frame reads must loop to the full size."""
+    import io
+
+    from transform360_tpu.utils.yuv import _read_exact
+
+    class Chunky:
+        def __init__(self, data, chunk):
+            self._b, self._c = io.BytesIO(data), chunk
+
+        def read(self, n):
+            return self._b.read(min(n, self._c))
+
+    data = bytes(range(256)) * 10
+    src = Chunky(data, 7)
+    assert _read_exact(src, 1000) == data[:1000]
+    assert _read_exact(src, 2000) == data[1000:]  # short at EOF
+    assert _read_exact(src, 10) == b""
+
+
+def test_cli_stdin_stdout_pipe(tmp_path, rng, monkeypatch):
+    """`-i - -o -` streams raw planes through stdin/stdout (the ffmpeg
+    rawvideo idiom) and matches the file-path run byte for byte, with
+    diagnostics kept off stdout."""
+    import io
+    import sys as _sys
+    import types
+
+    from tests.test_parallel import make_batch
+    from transform360_tpu.utils.yuv import write_yuv420_batch
+
+    y, u, v = make_batch(rng, 5, 64, 128)
+    path = tmp_path / "in.yuv"
+    write_yuv420_batch(str(path), y, u, v)
+    vf = ("w=64:h=32:input_stereo_format=mono:output_layout=equirect:"
+          "interpolation_alg=linear:enable_low_pass_filter=0")
+    args = ["--vf", vf, "--input-size", "128x64", "--batch", "2", "--stats"]
+    assert cli_main(args + ["-i", str(path), "-o", str(tmp_path / "want.yuv")]) == 0
+
+    fake_in = types.SimpleNamespace(buffer=io.BytesIO(path.read_bytes()))
+    fake_out = types.SimpleNamespace(buffer=io.BytesIO())
+    monkeypatch.setattr(_sys, "stdin", fake_in)
+    monkeypatch.setattr(_sys, "stdout", fake_out)
+    try:
+        rc = cli_main(args + ["-i", "-", "-o", "-"])
+    finally:
+        monkeypatch.undo()
+    assert rc == 0
+    assert fake_out.buffer.getvalue() == (tmp_path / "want.yuv").read_bytes()

@@ -15,10 +15,14 @@ otherwise) — the drop-in analog of ``ffmpeg -vf transform360=...``
 device batches are dispatched asynchronously (``--prefetch`` batches in
 flight), so host IO overlaps chip compute the way the reference's
 FFmpeg graph overlaps its decode/filter/encode stages.  Raw planar YUV420 (.yuv/.raw/.i420)
-streams are read/written directly and need ``--input-size``::
+streams are read/written directly and need ``--input-size``; ``-`` pipes
+raw planes through stdin/stdout (the ffmpeg rawvideo idiom)::
 
     python -m transform360_tpu.cli --vf "w=1024:h=512" \
         --input-size 3840x2160 -i in.yuv -o out.yuv
+    ffmpeg -i in.mp4 -f rawvideo -pix_fmt yuv420p - \
+      | python -m transform360_tpu.cli --vf "cube_edge_length=512" \
+          --input-size 3840x2160 -i - -o out.yuv
 """
 
 from __future__ import annotations
@@ -63,11 +67,13 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument(
         "-i", "--input", required=True,
-        help="input video file, or raw I420 stream (.yuv/.raw/.i420)",
+        help="input video file, or raw planar stream (.yuv/.raw/.i420, "
+             "or '-' for stdin)",
     )
     p.add_argument(
         "-o", "--output", required=True,
-        help="output video file, or raw I420 stream (.yuv/.raw/.i420)",
+        help="output video file, or raw planar stream (.yuv/.raw/.i420, "
+             "or '-' for stdout)",
     )
     p.add_argument(
         "--fps", type=float, default=None,
@@ -173,7 +179,10 @@ def main(argv=None) -> int:
     if args.load_plan:
         t.load_plan(args.load_plan)
 
-    stats = StageStats(stream=sys.stdout)
+    # with stdout as the output stream, diagnostics must not corrupt it
+    stats = StageStats(
+        stream=sys.stderr if args.output == "-" else sys.stdout
+    )
     t0 = time.perf_counter()
 
     # Decode on a separate thread so container demux/decode overlaps the

@@ -207,4 +207,8 @@ class VideoWriter:
 
 
 def is_raw_path(path: str) -> bool:
+    """Raw planar streams by extension; "-" is a raw stdin/stdout pipe
+    (the ffmpeg `-f rawvideo -` idiom)."""
+    if path == "-":
+        return True
     return path.rsplit(".", 1)[-1].lower() in ("yuv", "raw", "i420")

@@ -9,12 +9,38 @@ compressed video stays on the CPU side and out of scope for the TPU kernels
 
 from __future__ import annotations
 
+import contextlib
 import io
+import sys
 from typing import Iterator, Tuple
 
 import numpy as np
 
 from ..config import chroma_dims
+
+
+def _open_stream(path: str, mode: str):
+    """Open a raw-stream path; "-" is stdin/stdout (not closed on exit)."""
+    if path == "-":
+        f = sys.stdin.buffer if "r" in mode else sys.stdout.buffer
+        return contextlib.nullcontext(f)
+    return open(path, mode)
+
+
+def _read_exact(f, n: int) -> bytes:
+    """Read exactly n bytes (short of EOF) — pipes return partial reads."""
+    buf = f.read(n)
+    if buf is None or len(buf) in (0, n):
+        return buf or b""
+    chunks = [buf]
+    got = len(buf)
+    while got < n:
+        more = f.read(n - got)
+        if not more:
+            break
+        chunks.append(more)
+        got += len(more)
+    return b"".join(chunks)
 
 
 def frame_size_bytes(w: int, h: int, pix_fmt="yuv420p") -> int:
@@ -41,9 +67,9 @@ def read_planar_frames(
     sizes = [(h, w)] + [(ch, cw)] * (pf.n_planes - 1)
     total = sum(a * b for a, b in sizes)
     n = 0
-    with open(path, "rb") as f:
+    with _open_stream(path, "rb") as f:
         while True:
-            buf = f.read(total)
+            buf = _read_exact(f, total)
             if len(buf) < total:
                 return
             planes, off = [], 0
@@ -85,14 +111,19 @@ def write_yuv420_frames(path_or_file, planes_iter) -> int:
     close = False
     f = path_or_file
     if isinstance(path_or_file, str):
-        f = open(path_or_file, "wb")
-        close = True
+        if path_or_file == "-":
+            f = sys.stdout.buffer
+        else:
+            f = open(path_or_file, "wb")
+            close = True
     n = 0
     try:
         for planes in planes_iter:
             for p in planes:
                 f.write(np.ascontiguousarray(p, np.uint8).tobytes())
             n += 1
+        if not close:
+            f.flush()
     finally:
         if close:
             f.close()
