@@ -185,3 +185,31 @@ def test_native_tiny_plane_lanczos_barrel(rng):
     for p, q in zip(a, b):
         np.testing.assert_array_equal(p, q)
     assert a[1].shape == (8, 16)
+
+
+def test_native_pixel_formats(rng):
+    """The native backend runs any planar format through the same
+    per-plane C ABI (chroma dims from the format's log2 shifts)."""
+    from transform360_tpu import open_filter
+
+    vf = ("w=96:h=64:input_stereo_format=mono:"
+          "interpolation_alg=linear:enable_low_pass_filter=0")
+    # yuv444p: full-res chroma
+    y = make_yuv(rng, 128, 256)[0]
+    u = make_yuv(rng, 128, 256)[0]
+    v = make_yuv(rng, 128, 256)[0]
+    tn = open_filter(vf, 256, 128, backend="native", pix_fmt="yuv444p")
+    tj = open_filter(vf, 256, 128, pix_fmt="yuv444p")
+    got = tn.transform(y, u, v)
+    want = tj.transform(y, u, v)
+    for name, a, b in zip("YUV", got, want):
+        assert a.shape == np.asarray(b).shape
+        assert psnr(a, np.asarray(b)) >= 50.0, name
+    # gray: single plane, bare-array return like the TPU path
+    tg = open_filter(vf, 256, 128, backend="native", pix_fmt="gray")
+    og = tg.transform(y)
+    assert og.shape == (64, 96)
+    assert psnr(og, np.asarray(got[0])) >= 50.0  # same luma pipeline
+    # plane-count misuse still raises
+    with pytest.raises(ValueError, match="expected 1 plane"):
+        tg.transform(y, u, v)

@@ -161,34 +161,31 @@ class Transform360:
         from . import native
 
         pf = self._pix_fmt
-        if (
-            pf.n_planes != 3
-            or (pf.log2_chroma_w, pf.log2_chroma_h) != (1, 1)
-            or u is None
-            or v is None
-        ):
+        planes = [np.asarray(p, np.uint8) for p in (y, u, v) if p is not None]
+        if len(planes) != pf.n_planes:
             raise ValueError(
-                "the native backend supports 4:2:0 3-plane frames only"
+                f"expected {pf.n_planes} plane(s) for {pf.name}, got "
+                f"{len(planes)}"
             )
-
-        y, u, v = (np.asarray(p, np.uint8) for p in (y, u, v))
         if self._out_w is None or self._out_h is None:
             raise ValueError("output size not set")
         cfg = self._cfg
         if StereoFormat.GUESS in (cfg.input_stereo_format, cfg.output_stereo_format):
             in_fmt, out_fmt = resolve_stereo_formats(
-                cfg, y.shape[-1], y.shape[-2]
+                cfg, planes[0].shape[-1], planes[0].shape[-2]
             )
             cfg = cfg.replace(
                 input_stereo_format=in_fmt, output_stereo_format=out_fmt
             )
         if self._native is None or self._native._cfg != cfg:
             self._native = native.NativeTransform(cfg)
-        if y.ndim == 2:
-            return self._native.transform_frame(y, u, v, self._out_w, self._out_h)
-        # batch: the C engine's frame-pool runner (one worker per frame,
-        # maps generated once) — the CPU analog of the TPU batch axis
-        return self._native.transform_frames(y, u, v, self._out_w, self._out_h)
+        # single frame, or batch via the C engine's frame-pool runner (one
+        # worker per frame, maps generated once) — the CPU analog of the
+        # TPU batch axis
+        outs = self._native.transform_planar(
+            planes, self._out_w, self._out_h, pf.name
+        )
+        return outs if len(outs) > 1 else outs[0]
 
     def transform_frame_plane(
         self, plane, map_plane_index: int, in_w: int, in_h: int

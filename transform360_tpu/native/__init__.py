@@ -264,15 +264,40 @@ class NativeTransform:
         self, y: np.ndarray, u: np.ndarray, v: np.ndarray, out_w: int, out_h: int
     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Batched YUV420 frames: uint8 [B, ...] per plane, frame pool."""
-        _, in_h, in_w = y.shape
-        c_in_w, c_in_h = chroma_dims(in_w, in_h)
-        c_out_w, c_out_h = chroma_dims(out_w, out_h)
+        return self.transform_planar((y, u, v), out_w, out_h, "yuv420p")
+
+    def transform_planar(
+        self, planes, out_w: int, out_h: int, pix_fmt="yuv420p"
+    ) -> Tuple[np.ndarray, ...]:
+        """N-plane planar frames, single ([H, W] planes) or batched
+        ([B, H, W], frame pool).  Plane 0 uses the luma map, every other
+        plane the chroma map, with chroma dims from the format's log2
+        shifts (``vf_transform360.c:87-97,368-372``)."""
+        from ..config import get_pixel_format
+
+        pf = get_pixel_format(pix_fmt)
+        planes = [np.ascontiguousarray(p, np.uint8) for p in planes]
+        if len(planes) != pf.n_planes:
+            raise ValueError(
+                f"expected {pf.n_planes} plane(s) for {pf.name}, got "
+                f"{len(planes)}"
+            )
+        batched = planes[0].ndim == 3
+        in_h, in_w = planes[0].shape[-2:]
         self.generate_map_for_plane(in_w, in_h, out_w, out_h, 0)
-        self.generate_map_for_plane(c_in_w, c_in_h, c_out_w, c_out_h, 1)
-        oy = self.transform_frames_plane(y, out_w, out_h, 0, 0)
-        ou = self.transform_frames_plane(u, c_out_w, c_out_h, 1, 1)
-        ov = self.transform_frames_plane(v, c_out_w, c_out_h, 1, 2)
-        return oy, ou, ov
+        if pf.n_planes > 1:
+            c_in_w, c_in_h = chroma_dims(in_w, in_h, pf)
+            c_out_w, c_out_h = chroma_dims(out_w, out_h, pf)
+            self.generate_map_for_plane(c_in_w, c_in_h, c_out_w, c_out_h, 1)
+        outs = []
+        for i, p in enumerate(planes):
+            mp = 0 if i == 0 else 1
+            ow, oh = (out_w, out_h) if mp == 0 else (c_out_w, c_out_h)
+            if batched:
+                outs.append(self.transform_frames_plane(p, ow, oh, mp, i))
+            else:
+                outs.append(self.transform_frame_plane(p, ow, oh, mp, i))
+        return tuple(outs)
 
     def export_warp_map(self, plane_idx: int) -> np.ndarray:
         """Quantized warp map [H', W', 2] for cross-validation."""
@@ -292,12 +317,4 @@ class NativeTransform:
         self, y: np.ndarray, u: np.ndarray, v: np.ndarray, out_w: int, out_h: int
     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Full YUV420 frame: 2 map planes for 3 image planes."""
-        in_h, in_w = y.shape
-        c_in_w, c_in_h = chroma_dims(in_w, in_h)
-        c_out_w, c_out_h = chroma_dims(out_w, out_h)
-        self.generate_map_for_plane(in_w, in_h, out_w, out_h, 0)
-        self.generate_map_for_plane(c_in_w, c_in_h, c_out_w, c_out_h, 1)
-        oy = self.transform_frame_plane(y, out_w, out_h, 0, 0)
-        ou = self.transform_frame_plane(u, c_out_w, c_out_h, 1, 1)
-        ov = self.transform_frame_plane(v, c_out_w, c_out_h, 1, 2)
-        return oy, ou, ov
+        return self.transform_planar((y, u, v), out_w, out_h, "yuv420p")
