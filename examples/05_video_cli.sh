@@ -1,0 +1,33 @@
+#!/bin/sh
+# CLI recipes — the `ffmpeg -vf transform360="..."` replacement.
+# Each line is standalone; all accept the reference's option string verbatim.
+set -e
+
+# Video containers (decode/encode on host CPU, transform on device).
+# --prefetch overlaps decode with device compute.
+python -m transform360_tpu.cli \
+  --vf "cube_edge_length=512:interpolation_alg=cubic:enable_low_pass_filter=1" \
+  -i in.mp4 -o out.mp4 --batch 8 --prefetch 1 --stats
+
+# Raw planar streams of any planar pix_fmt (yuv420p/422p/444p/411p/410p/gray).
+python -m transform360_tpu.cli --vf "w=1024:h=512" \
+  --input-size 3840x2160 --pix-fmt yuv422p -i in.yuv -o out.yuv
+
+# Pipe through stdin/stdout with '-' paths (e.g. inside an ffmpeg pipeline):
+#   ffmpeg -i in.mp4 -f rawvideo -pix_fmt yuv420p - \
+#     | python -m transform360_tpu.cli --vf "cube_edge_length=512" \
+#         --input-size 3840x2160 -i - -o - \
+#     | ffmpeg -f rawvideo -pix_fmt yuv420p -s 1536x1024 -i - out.mp4
+python -m transform360_tpu.cli --vf "cube_edge_length=256" \
+  --input-size 1024x512 -i - -o - < in.yuv > out.yuv
+
+# Stereo + expression-sized output, plan reuse across runs:
+python -m transform360_tpu.cli \
+  --vf "input_stereo_format=TB:output_stereo_format=TB:w=out_h*2:h=1024" \
+  --input-size 2048x2048 -i - -o out.yuv --save-plan plan.npz < in.yuv
+python -m transform360_tpu.cli --vf "input_stereo_format=TB:output_stereo_format=TB:w=out_h*2:h=1024" \
+  --input-size 2048x2048 -i - -o out2.yuv --load-plan plan.npz < in.yuv
+
+# Shard batches across N devices:
+python -m transform360_tpu.cli --vf "cube_edge_length=512" \
+  --input-size 3840x2160 -i in.yuv -o out.yuv --batch 16 --devices 8
