@@ -28,6 +28,10 @@ python -m transform360_tpu.cli \
 python -m transform360_tpu.cli --vf "input_stereo_format=TB:output_stereo_format=TB:w=out_h*2:h=1024" \
   --input-size 2048x2048 -i - -o out2.yuv --load-plan plan.npz < in.yuv
 
+# No TPU / no JAX? The dependency-free C++ engine runs the same CLI:
+python -m transform360_tpu.cli --vf "cube_edge_length=512" \
+  --input-size 3840x2160 -i in.yuv -o out.yuv --backend native
+
 # Shard batches across N devices:
 python -m transform360_tpu.cli --vf "cube_edge_length=512" \
   --input-size 3840x2160 -i in.yuv -o out.yuv --batch 16 --devices 8

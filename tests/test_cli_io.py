@@ -363,3 +363,37 @@ def test_cli_stdin_stdout_pipe(tmp_path, rng, monkeypatch):
         monkeypatch.undo()
     assert rc == 0
     assert fake_out.buffer.getvalue() == (tmp_path / "want.yuv").read_bytes()
+
+
+def test_cli_native_backend(tmp_path, rng, capsys):
+    from transform360_tpu import native
+
+    if not native.available():
+        pytest.skip("native engine unavailable")
+    path, _ = make_stream(tmp_path, rng, 4, 128, 64)
+    vf = (
+        "cube_edge_length=32:input_stereo_format=mono:"
+        "interpolation_alg=linear:enable_low_pass_filter=0"
+    )
+    common = ["--vf", vf, "--input-size", "128x64", "-i", str(path),
+              "--batch", "2"]
+    out_n = tmp_path / "out_native.yuv"
+    rc = cli_main(common + ["-o", str(out_n), "--backend", "native"])
+    assert rc == 0
+    out_j = tmp_path / "out_jax.yuv"
+    rc = cli_main(common + ["-o", str(out_j)])
+    assert rc == 0
+    assert out_n.stat().st_size == 4 * frame_size_bytes(96, 64)
+    a = np.fromfile(out_n, np.uint8).astype(np.int32)
+    b = np.fromfile(out_j, np.uint8).astype(np.int32)
+    mse = max(((a - b) ** 2).mean(), 1e-12)
+    assert 10 * np.log10(255.0**2 / mse) > 50  # independent impls agree
+
+
+def test_cli_native_backend_rejects_jax_only_flags(tmp_path, rng):
+    path, _ = make_stream(tmp_path, rng, 1, 64, 32)
+    base = ["--vf", "w=32:h=16:enable_low_pass_filter=0", "--input-size",
+            "64x32", "-i", str(path), "-o", str(path) + ".out",
+            "--backend", "native"]
+    assert cli_main(base + ["--devices", "2"]) == 2
+    assert cli_main(base + ["--save-plan", str(path) + ".plan"]) == 2

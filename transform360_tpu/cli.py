@@ -103,17 +103,33 @@ def build_parser() -> argparse.ArgumentParser:
         "--load-plan", default=None, help="reuse a previously saved plan"
     )
     p.add_argument("--stats", action="store_true", help="print a JSON stats line")
+    p.add_argument(
+        "--backend", choices=("auto", "native"), default="auto",
+        help="'auto' = the JAX/TPU pipeline; 'native' = the dependency-"
+             "free C++ engine (CPU, the reference's threading model) — "
+             "no JAX required",
+    )
     return p
 
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
-    # Persistent compilation cache: repeat CLI invocations of the same
-    # config skip the (minutes-long on remote backends) XLA compile.
-    from .utils.backend import enable_compilation_cache
+    if args.backend == "native":
+        if args.devices != 1:
+            print("error: --devices requires the JAX backend",
+                  file=sys.stderr)
+            return 2
+        if args.save_plan or args.load_plan:
+            print("error: plan files apply to the JAX backend only",
+                  file=sys.stderr)
+            return 2
+    else:
+        # Persistent compilation cache: repeat CLI invocations of the same
+        # config skip the (minutes-long on remote backends) XLA compile.
+        from .utils.backend import enable_compilation_cache
 
-    enable_compilation_cache()
+        enable_compilation_cache()
 
     pf = get_pixel_format(args.pix_fmt)
     if is_raw_path(args.input):
@@ -174,7 +190,7 @@ def main(argv=None) -> int:
 
     t = open_filter(
         args.vf, in_w, in_h, eager=args.load_plan is None, pix_fmt=pf,
-        mesh=mesh,
+        mesh=mesh, backend=args.backend,
     )
     if args.load_plan:
         t.load_plan(args.load_plan)
