@@ -147,6 +147,78 @@ def test_unpack_f32_gate_and_body_parity(rng):
     assert diff.max() <= 1
 
 
+def test_pack2_matches_plain(rng):
+    """Half-occupancy pair packing: two tiles per grid step (tile A in
+    lanes 0..63, B in 64..127) must be byte-identical to the plain lane
+    kernel — per-half accumulation order is unchanged and the merged
+    contraction uses the same weights."""
+    from transform360_tpu.ops.remap_lane import (
+        build_lane_pack2,
+        remap_lane_hwb_pack2,
+    )
+
+    for alg, layout in (
+        (Interpolation.CUBIC, Layout.CUBEMAP_32),
+        (Interpolation.LINEAR, Layout.BARREL),   # transparent border + pad
+        (Interpolation.LANCZOS4, Layout.EQUIRECT),
+    ):
+        cfg = TransformConfig(
+            output_layout=layout, interpolation_alg=alg, **MONO
+        )
+        out_wh = (160, 64) if layout == Layout.BARREL else (96, 64)
+        plan = build_plan(cfg, 128, 64, out_wh[0], out_wh[1])
+        pp = plan.luma
+        lplan = build_lane_remap(pp.spec, pp.fill)
+        pairp = build_lane_pack2(lplan)
+        assert pairp is not None and pairp.pairs
+        # every tile is covered exactly once by the entry permutation
+        ids = np.concatenate(
+            [pc.ids_a for pc in pairp.pairs]
+            + [pc.ids_b[pc.ids_b != pc.ids_a] for pc in pairp.pairs]
+            + [c.meta[0] for c in pairp.normal]
+            + ([] if lplan.fb_ids is None else [lplan.fb_ids])
+        )
+        assert sorted(ids) == list(range(lplan.n_tiles))
+
+        B = 5
+        x = rng.integers(0, 256, (B, pp.in_h, pp.in_w), dtype=np.uint8)
+        want = np.asarray(remap_lane(lplan, jnp.asarray(x), interpret=True))
+        c = np.concatenate([x, np.zeros((64 - B,) + x.shape[1:], np.uint8)])
+        c = np.concatenate([c, c])  # duplicate into lanes 64..127
+        ct = jnp.transpose(jnp.asarray(c), (1, 2, 0))
+        got = np.asarray(remap_lane_hwb_pack2(pairp, ct, interpret=True))
+        assert got.shape[0] == 64
+        np.testing.assert_array_equal(got[:B], want)
+
+
+def test_pack2_pipeline_routing(rng):
+    """The executor takes the pack2 path for 9 <= batch <= 64 and the
+    output matches the plain lane path (TRANSFORM360_LANE_PACK2=0)."""
+    from transform360_tpu import pipeline
+
+    cfg = TransformConfig(interpolation_alg=Interpolation.CUBIC, **MONO)
+    plan = build_plan(cfg, 128, 64, 96, 64)
+    x = rng.integers(0, 256, (12, plan.luma.in_h, plan.luma.in_w), np.uint8)
+    old_pack2, old_min = pipeline.LANE_PACK2, pipeline.LANE_MIN_BATCH
+    try:
+        pipeline.LANE_MIN_BATCH = 1
+        pipeline.clear_executor_cache()
+        pipeline.LANE_PACK2 = True
+        prog = pipeline._plane_program(plan.luma, use_pallas=True,
+                                       interpret=True)
+        a = np.asarray(prog(jnp.asarray(x)))
+        pipeline.clear_executor_cache()
+        pipeline.LANE_PACK2 = False
+        prog = pipeline._plane_program(plan.luma, use_pallas=True,
+                                       interpret=True)
+        b = np.asarray(prog(jnp.asarray(x)))
+    finally:
+        pipeline.LANE_PACK2, pipeline.LANE_MIN_BATCH = old_pack2, old_min
+        pipeline.clear_executor_cache()
+    assert a.shape == (12, 64, 96)
+    np.testing.assert_array_equal(a, b)
+
+
 def test_circular_origin_rows_matches_scalar(rng):
     """The vectorized ring-origin (sort-based) must agree with the scalar
     unique-based definition, including duplicate values and ties."""

@@ -102,7 +102,11 @@ def test_remap_barrel_transparent(rng):
         **MONO,
     )
     warp = np.asarray(geometry.build_warp_map(cfg, in_w, in_h, 100, 40))
-    img = make_image(rng, in_h, in_w)
+    # keep the image away from the fill value (0): bilinear weights are
+    # non-negative, so no REAL pixel can interpolate/round to 0 and the
+    # ==0 comparison below identifies exactly the untouched fill set
+    # (the session-scoped rng otherwise makes this order-dependent)
+    img = np.clip(make_image(rng, in_h, in_w), 16, 240)
     want = np.zeros((40, 100), np.uint8)
     want = cv2.remap(
         img,
@@ -118,7 +122,7 @@ def test_remap_barrel_transparent(rng):
     assert db >= 50.0, f"barrel transparent PSNR {db:.2f} dB"
     # the BORDER_TRANSPARENT skip set must match cv::remap exactly:
     # untouched (fill) exactly where the oracle left the dst untouched
-    assert np.array_equal(got == 0, want == 0) or (got == 0).sum() == (want == 0).sum()
+    assert np.array_equal(got == 0, want == 0)
 
 
 def test_seam_wrap_continuity(rng):

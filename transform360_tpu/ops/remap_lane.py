@@ -87,6 +87,48 @@ class LaneClass:
 
 
 @dataclasses.dataclass(frozen=True)
+class LanePairClass:
+    """Two output tiles per grid step (half-occupancy batches).
+
+    At batch <= 64 every vreg is half padding: frames live in the 128
+    vector lanes and a pass costs the same at any occupancy.  This class
+    packs TWO tiles of the same window rung into each step — tile A is
+    served by lanes 0..63, tile B by lanes 64..127 (the caller duplicates
+    the <=64 real frames into the upper lanes).  Per pixel the two
+    halves' y-tap accumulations are computed separately (their window
+    slices differ), then merged with ONE lane-select so the
+    x-contraction, rounding and store are shared.
+    """
+
+    win_h: int
+    win_w: int
+    n: int              # pairs
+    double_buf: bool
+    meta: np.ndarray    # [4, n] i32: y0a, x0a, y0b, x0b (x % 8 == 0)
+    ids_a: np.ndarray   # [n] tile linear ids (host-side, for assembly)
+    ids_b: np.ndarray   # [n]; ids_b[i] == ids_a[i] marks a self-pair
+    idx: np.ndarray     # [n, 6, TPo] i32: lyA, lxqA, codeA, lyB, lxqB, codeB
+    wyb: np.ndarray     # [n, 2T + 2, TPo] f32: A taps, B taps, A bias, B bias
+
+
+@dataclasses.dataclass(frozen=True)
+class LanePairPlan:
+    """Pack2 execution plan derived from a :class:`LaneRemapPlan`.
+
+    ``pairs`` covers every class whose doubled window scratch fits VMEM;
+    ``normal`` keeps the leftovers on the plain kernel (their tiles are
+    read out of the base grid).  ``perm`` maps each output tile to its
+    source entry in [pair A-halves..., pair B-halves..., base grid...].
+    """
+
+    base: "LaneRemapPlan"
+    pairs: Tuple[LanePairClass, ...]
+    normal: Tuple[LaneClass, ...]
+    perm: np.ndarray    # [n_tiles] i32 entry index
+    n_pair_entries: int
+
+
+@dataclasses.dataclass(frozen=True)
 class LaneRemapPlan:
     interp: Interpolation
     taps: int
@@ -416,6 +458,70 @@ def build_lane_remap(spec: SampleSpec, fill: float) -> Optional[LaneRemapPlan]:
     )
 
 
+def build_lane_pack2(plan: Optional[LaneRemapPlan]) -> Optional[LanePairPlan]:
+    """Derive the half-occupancy pack2 plan from a built lane plan.
+
+    Pairs consecutive tiles within each window class (they are tile-major,
+    so neighbors share DMA locality); an odd leftover self-pairs (its B
+    half recomputes the same tile — harmless).  Classes whose doubled
+    window scratch would not fit the VMEM budget stay on the plain
+    kernel.  Returns None when nothing is pairable.
+    """
+    if plan is None:
+        return None
+    T = plan.taps
+    pairs: List[LanePairClass] = []
+    normal: List[LaneClass] = []
+    for cls in plan.classes:
+        wbytes = cls.win_h * cls.win_w * LANES
+        nbuf = 2 if 2 * wbytes <= _DOUBLE_BUF_BYTES else 1
+        if 2 * nbuf * wbytes > _WINDOW_BYTES_MAX:
+            normal.append(cls)
+            continue
+        n = cls.n
+        i0 = np.arange(0, n, 2)
+        i1 = np.minimum(i0 + 1, n - 1)  # odd leftover self-pairs
+        pairs.append(
+            LanePairClass(
+                win_h=cls.win_h,
+                win_w=cls.win_w,
+                n=i0.size,
+                double_buf=nbuf == 2,
+                meta=np.stack(
+                    [cls.meta[1, i0], cls.meta[2, i0],
+                     cls.meta[1, i1], cls.meta[2, i1]]
+                ).astype(np.int32),
+                ids_a=cls.meta[0, i0].astype(np.int64),
+                ids_b=cls.meta[0, i1].astype(np.int64),
+                idx=np.concatenate([cls.idx[i0], cls.idx[i1]], axis=1),
+                wyb=np.concatenate(
+                    [cls.wyb[i0, :T], cls.wyb[i1, :T],
+                     cls.wyb[i0, T:], cls.wyb[i1, T:]],
+                    axis=1,
+                ),
+            )
+        )
+    if not pairs:
+        return None
+    # entry table: [class0 A..., class0 B..., class1 A..., ..., base grid]
+    n_pair_entries = sum(2 * pc.n for pc in pairs)
+    perm = np.arange(plan.n_tiles, dtype=np.int64) + n_pair_entries
+    off = 0
+    for pc in pairs:
+        perm[pc.ids_a] = off + np.arange(pc.n)
+        # self-pairs: B recomputes A's tile; either entry is correct, and
+        # assigning B after A simply prefers the B half there
+        perm[pc.ids_b] = off + pc.n + np.arange(pc.n)
+        off += 2 * pc.n
+    return LanePairPlan(
+        base=plan,
+        pairs=tuple(pairs),
+        normal=tuple(normal),
+        perm=perm.astype(np.int32),
+        n_pair_entries=n_pair_entries,
+    )
+
+
 def pad_plane_lane(plan: LaneRemapPlan, x: jnp.ndarray) -> jnp.ndarray:
     """uint8 [B, H, W] -> padded uint8 [B, hp, wp] (wrap or replicate)."""
     py = plan.pad_y
@@ -645,6 +751,185 @@ def _run_lane_fallback(plan: LaneRemapPlan, padded, tiles_out):
             tiles_out, vals[j : j + 1], (int(plan.fb_ids[j]), 0, 0, 0)
         )
     return tiles_out
+
+
+def _make_pair_kernel(plan: LaneRemapPlan, pc: LanePairClass):
+    T = plan.taps
+    wh, ww = pc.win_h, pc.win_w
+    n = pc.n
+    nbuf = 2 if pc.double_buf else 1
+    chunks = _dma_chunks(wh)
+
+    def kernel(meta_ref, idx_ref, wyb_ref, wt_ref, src_ref, out_ref,
+               win_a, win_b, sems):
+        i = pl.program_id(0)
+        halves = ((0, win_a), (1, win_b))
+
+        def dmas(slot, t):
+            copies = []
+            for h, win in halves:
+                y0 = meta_ref[2 * h, t]
+                x0 = pl.multiple_of(meta_ref[2 * h + 1, t], 8)
+                copies += [
+                    pltpu.make_async_copy(
+                        src_ref.at[pl.ds(y0 + cy, rows), pl.ds(x0, ww), :],
+                        win.at[slot, pl.ds(cy, rows)],
+                        sems.at[slot, h, s],
+                    )
+                    for s, (cy, rows) in enumerate(chunks)
+                ]
+            return copies
+
+        if nbuf == 2:
+            @pl.when(i == 0)
+            def _():
+                for c in dmas(0, 0):
+                    c.start()
+
+            @pl.when(i + 1 < n)
+            def _():
+                for c in dmas((i + 1) % 2, i + 1):
+                    c.start()
+
+            slot = i % 2
+            for c in dmas(slot, i):
+                c.wait()
+        else:
+            slot = 0
+            for c in dmas(0, i):
+                c.start()
+            for c in dmas(0, i):
+                c.wait()
+
+        # lanes 0..63 carry tile A, 64..127 tile B (duplicated frames)
+        mask16 = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, XW, LANES), 2)
+            < LANES // 2
+        )
+        maskb = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1) < LANES // 2
+        )
+
+        def body(o, carry):
+            rows = []
+            for s in range(TH):
+                px = o * TH + s
+                accs = []
+                for h, win in halves:
+                    ly = idx_ref[0, 3 * h, px]
+                    lxq = pl.multiple_of(idx_ref[0, 3 * h + 1, px], 8)
+                    v = win[slot, pl.ds(ly, T), pl.ds(lxq, XW), :]
+                    vf = v.astype(jnp.int32).astype(jnp.float32)
+                    a = None
+                    for t in range(T):
+                        term = wyb_ref[0, h * T + t, px] * vf[t : t + 1]
+                        a = term if a is None else a + term
+                    accs.append(a)
+                # one lane-select merge; the contraction + epilogue below
+                # is then shared by both tiles — the pack2 saving
+                acc16 = jnp.where(mask16, accs[0], accs[1])
+                wva = wt_ref[pl.ds(idx_ref[0, 2, px], 1), :, :]
+                wvb = wt_ref[pl.ds(idx_ref[0, 5, px], 1), :, :]
+                wv = jnp.where(mask16, wva, wvb)
+                xa = jnp.sum(acc16 * wv, axis=1)
+                bias = jnp.where(
+                    maskb, wyb_ref[0, 2 * T, px], wyb_ref[0, 2 * T + 1, px]
+                )
+                rows.append(xa + bias)
+            blk = jnp.concatenate(rows, axis=0)
+            blk = jnp.clip(jnp.floor(blk + 0.5), 0.0, 255.0)
+            out_ref[0, pl.ds(o, 1), :, :] = (
+                blk.astype(jnp.int32).astype(jnp.uint8)[None]
+            )
+            return carry
+
+        jax.lax.fori_loop(0, TPo // TH, body, 0)
+
+    return kernel
+
+
+def _run_pair_class(plan: LaneRemapPlan, pc: LanePairClass, padded,
+                    interpret):
+    """padded: uint8 [hp, wp, LANES] (lanes 64..127 duplicate 0..63);
+    out: uint8 [n_pairs, TW, TH, LANES] — A tiles in lanes :64, B in 64:."""
+    T = plan.taps
+    nbuf = 2 if pc.double_buf else 1
+    gs = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(pc.n,),
+        in_specs=[
+            pl.BlockSpec((1, 6, TPo), lambda i, m: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 2 * T + 2, TPo), lambda i, m: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((256, XW, 1), lambda i, m: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, TW, TH, LANES),
+            lambda i, m: (i, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((nbuf, pc.win_h, pc.win_w, LANES), jnp.uint8),
+            pltpu.VMEM((nbuf, pc.win_h, pc.win_w, LANES), jnp.uint8),
+            pltpu.SemaphoreType.DMA((nbuf, 2, len(_dma_chunks(pc.win_h)))),
+        ],
+    )
+    return pl.pallas_call(
+        _make_pair_kernel(plan, pc),
+        grid_spec=gs,
+        out_shape=jax.ShapeDtypeStruct((pc.n, TW, TH, LANES), jnp.uint8),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(staged(pc.meta), staged(pc.idx), staged(pc.wyb), staged(plan.wt),
+      padded)
+
+
+def _remap_core_pack2(pp: LanePairPlan, padded, interpret) -> jnp.ndarray:
+    """padded [hp, wp, 128] with lanes 64..127 duplicating 0..63 ->
+    output [out_h, out_w, 64] (lane layout, half occupancy)."""
+    plan = pp.base
+    H = LANES // 2
+    entries = []
+    for pc in pp.pairs:
+        o = _run_pair_class(plan, pc, padded, interpret)
+        entries.append(o[..., :H])
+        entries.append(o[..., H:])
+    need_base = bool(pp.normal) or plan.fb_ids is not None
+    if need_base:
+        base = None
+        for cls in pp.normal:
+            base = _run_lane_class(plan, cls, padded, base, interpret)
+        if base is None:
+            base = jnp.full(
+                (plan.n_tiles, TW, TH, LANES), int(plan.fill), jnp.uint8
+            )
+        base = _run_lane_fallback(plan, padded, base)
+        entries.append(base[..., :H])
+    all_entries = jnp.concatenate(entries, axis=0)
+    out = jnp.take(all_entries, jnp.asarray(pp.perm), axis=0)
+    n_ty, n_tx = plan.out_hp // TH, plan.out_wp // TW
+    out = out.reshape(n_ty, n_tx, TW, TH, H)
+    out = jnp.transpose(out, (0, 3, 1, 2, 4))
+    out = out.reshape(plan.out_hp, plan.out_wp, H)
+    return out[: plan.out_h, : plan.out_w, :]
+
+
+def remap_lane_hwb_pack2(
+    pp: LanePairPlan, x: jnp.ndarray, interpret: bool = False
+) -> jnp.ndarray:
+    """Pack2 remap for half-occupancy lane layouts.
+
+    ``x``: uint8 [H, W, 128] whose lanes 64..127 duplicate lanes 0..63
+    (the caller tiles its <=64 real frames).  Returns uint8
+    [64, out_h, out_w] — only the first 64 lanes, at roughly the plain
+    kernel's per-TILE-PAIR cost instead of per-tile.
+    """
+    padded = pad_plane_lane_hwb(pp.base, x)
+    out = _remap_core_pack2(pp, padded, interpret)
+    return jnp.transpose(out, (2, 0, 1))
 
 
 def pad_plane_lane_hwb(plan: LaneRemapPlan, x: jnp.ndarray) -> jnp.ndarray:

@@ -38,7 +38,13 @@ import numpy as np
 
 from .filtering import apply_blur
 from .ops.blur_lane import blur_lane, build_blur_lane
-from .ops.remap_lane import build_lane_remap, remap_lane, remap_lane_hwb
+from .ops.remap_lane import (
+    build_lane_pack2,
+    build_lane_remap,
+    remap_lane,
+    remap_lane_hwb,
+    remap_lane_hwb_pack2,
+)
 from .ops.remap_pallas import pallas_eligible, remap_pallas
 from .ops.staging import stage_program, staged
 from .plan import PlanePlan, TransformPlan
@@ -63,6 +69,14 @@ from .sampling import (
 # real-chip fidelity evidence.
 LANE_MIN_BATCH = int(os.environ.get("TRANSFORM360_LANE_MIN_BATCH", "9"))
 
+# Half-occupancy pair packing: at batch <= 64 the real frames are
+# duplicated into lanes 64..127 and the lane remap runs TWO tiles per
+# grid step (tile A in the lower lanes, tile B in the upper), sharing
+# the x-contraction/round/store between them (ops/remap_lane.py,
+# LanePairClass).  Set TRANSFORM360_LANE_PACK2=0 to fall back to the
+# plain padded pass.
+LANE_PACK2 = os.environ.get("TRANSFORM360_LANE_PACK2", "1") != "0"
+
 _LANE_CACHE: Dict[str, object] = {}
 _LANE_MISS = object()
 
@@ -86,6 +100,15 @@ def _blur_lane_plan(pp: PlanePlan):
     return bl
 
 
+def _lane_pair_plan(pp: PlanePlan):
+    key = ("pair", pp.key)
+    lp = _LANE_CACHE.get(key, _LANE_MISS)
+    if lp is _LANE_MISS:
+        lp = build_lane_pack2(_lane_plan(pp))
+        _LANE_CACHE[key] = lp
+    return lp
+
+
 def _fixup(pp: PlanePlan):
     """BORDER_TRANSPARENT partial-footprint correction set for the kernel
     backends (see sampling.partial_fixup), cached by plan identity."""
@@ -107,6 +130,30 @@ def _lane_chunked(pp: PlanePlan, lane, x, interpret):
         x = _round_u8(apply_blur(pp.blur, x.astype(jnp.float32)))
     fix = _fixup(pp)
     B = x.shape[0]
+    if LANE_PACK2 and B <= 64:
+        pairp = _lane_pair_plan(pp)
+        if pairp is not None:
+            # duplicate the (zero-padded-to-64) frames into lanes 64..127
+            # so each pair step serves two tiles at full lane occupancy
+            c = x
+            if c.shape[0] < 64:
+                c = jnp.concatenate(
+                    [c, jnp.zeros((64 - c.shape[0],) + c.shape[1:],
+                                  jnp.uint8)],
+                    axis=0,
+                )
+            c = jnp.concatenate([c, c], axis=0)
+            ct = jnp.transpose(c, (1, 2, 0))
+            if bl is not None:
+                ct = blur_lane(bl, ct, interpret=interpret)
+            o = remap_lane_hwb_pack2(pairp, ct, interpret=interpret)
+            if fix is not None:
+                vals = _round_u8(
+                    fixup_values(fix, ct.reshape(-1, 128).T)[:64]
+                )
+                of = o.reshape(o.shape[0], -1)
+                o = of.at[:, jnp.asarray(fix[0])].set(vals).reshape(o.shape)
+            return o[:B]
     outs = []
     for k in range(0, B, 128):
         c = x[k : k + 128]
@@ -218,7 +265,7 @@ class _StagedExecutor:
         chain it).  LANE_MIN_BATCH is part of the key: the batch-routing
         decision is baked in at trace time, so tools that flip it (e.g.
         psnr_check's dual-path sweep) must not reuse stale traces."""
-        key = (tuple(x.shape), x.dtype, LANE_MIN_BATCH)
+        key = (tuple(x.shape), x.dtype, LANE_MIN_BATCH, LANE_PACK2)
         ent = self._by_shape.get(key)
         if ent is None:
             fn, consts = stage_program(
@@ -238,7 +285,7 @@ def plane_executor(pp: PlanePlan) -> Callable:
     the batch-routing threshold, which the program bakes in at trace
     time)."""
     use_pallas = _use_pallas(pp)
-    key = (pp.key, use_pallas, LANE_MIN_BATCH)
+    key = (pp.key, use_pallas, LANE_MIN_BATCH, LANE_PACK2)
     fn = _EXEC_CACHE.get(key)
     if fn is None:
         fn = _StagedExecutor(_plane_program(pp, use_pallas))
