@@ -157,6 +157,9 @@ def main():
         "flagship_b32": (dict(**mono), (1536, 1024), 32),
         "flagship_b16": (dict(**mono), (1536, 1024), 16),
         "flagship_b8": (dict(**mono), (1536, 1024), 8),
+        # single-frame latency (live-streaming use case): window-gather
+        # path; ms_per_batch IS the per-frame device latency
+        "flagship_b1": (dict(**mono), (1536, 1024), 1),
     }
 
     # extra layout coverage (not BASELINE configs; run only when named,

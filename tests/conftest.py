@@ -33,8 +33,11 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture
 def rng():
+    # Function-scoped on purpose: a session-scoped stream makes every
+    # test's inputs depend on which tests ran before it, so marginal
+    # rounding-tie assertions flake only under specific orderings.
     return np.random.default_rng(42)
 
 

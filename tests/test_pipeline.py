@@ -381,6 +381,31 @@ def test_pixel_format_yuv422p(rng):
         assert psnr(g, w_) >= 50.0
 
 
+def test_pixel_format_gbrp(rng):
+    """Planar RGB rides the same 2-map-plane machinery: the reference
+    declares no pix-fmt list so FFmpeg feeds it gbrp, and planes 1/2 use
+    the full-res 'chroma' map (vf_transform360.c:368-380)."""
+    from transform360_tpu import oracle
+    from transform360_tpu.plan import build_plan as bp
+
+    cfg = TransformConfig(
+        interpolation_alg=Interpolation.LINEAR, enable_low_pass_filter=1, **MONO
+    )
+    g, _, _ = make_yuv(rng, 128, 256)
+    gy, gx = np.mgrid[0:128, 0:256]
+    b = np.clip(128 + 60 * np.sin(gx / 5.0), 0, 255).astype(np.uint8)
+    r = np.clip(128 + 60 * np.cos(gy / 4.0), 0, 255).astype(np.uint8)
+    plan = bp(cfg, 256, 128, 96, 64, pix_fmt="gbrp")
+    assert (plan.chroma.in_w, plan.chroma.in_h) == (256, 128)
+    assert (plan.chroma.out_w, plan.chroma.out_h) == (96, 64)
+    got = transform_batch(plan, g, b, r)
+    want = oracle.transform_frame_planar(cfg, (g, b, r), 96, 64, "gbrp")
+    for got_p, want_p in zip(got, want):
+        got_p = np.asarray(got_p)
+        assert got_p.shape == want_p.shape
+        assert psnr(got_p, want_p) >= 50.0
+
+
 def test_pixel_format_gray(rng):
     """Single-plane gray: no chroma plan, bare-array return."""
     from transform360_tpu import oracle

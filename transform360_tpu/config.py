@@ -453,6 +453,13 @@ PIXEL_FORMATS = {
         PixelFormat("yuvj444p", 3, 0, 0),
         PixelFormat("yuv411p", 3, 2, 0),
         PixelFormat("yuv410p", 3, 2, 2),
+        # Planar RGB: the reference filter declares no pix-fmt list, so
+        # FFmpeg will feed it gbrp; every plane is full-res (shifts 0/0)
+        # and planes 1/2 ride the "chroma" map like any other format
+        # (vf_transform360.c:368-380). Barrel fill stays map-plane-keyed
+        # (128 on map plane 1 — faithful to VideoFrameTransform.cpp:743-762
+        # even though the planes hold B/R, not chroma).
+        PixelFormat("gbrp", 3, 0, 0),
         PixelFormat("gray", 1, 0, 0),
     )
 }

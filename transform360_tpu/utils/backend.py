@@ -21,23 +21,36 @@ _CACHE_DIR = os.path.expanduser("~/.cache/transform360_tpu/jax_cache")
 
 
 def _host_fingerprint() -> str:
-    """Hash of the host CPU's feature flags.
+    """Hash of the host CPU's identity AND feature flags.
 
-    XLA:CPU caches AOT executables compiled for the *build* machine's CPU
-    features; loading them on a host with a different feature set can
-    SIGILL (XLA warns exactly this).  Scoping the cache directory by CPU
-    fingerprint keeps a home directory shared across heterogeneous
-    machines (NFS) safe.  TPU entries are unaffected either way — their
-    key includes the compiler build.
+    XLA:CPU caches AOT executables compiled for the *build* machine's CPU;
+    loading them on a different host can SIGILL (XLA warns exactly this).
+    Scoping the cache directory by CPU fingerprint keeps a home directory
+    shared across heterogeneous machines (NFS) safe.  The flags line alone
+    is NOT enough: LLVM derives tuning bits such as ``prefer-no-gather``
+    from the CPU *model* (via cpuid), so two hosts with identical cpuinfo
+    flags can still produce incompatible AOT code — include vendor/family/
+    model/stepping/model-name too.  TPU entries are unaffected either way
+    — their key includes the compiler build.
     """
+    keys = ("vendor_id", "cpu family", "model", "stepping", "model name",
+            "flags")
+    ident = {}
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith("flags"):
-                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
-                    return hashlib.sha256(feats.encode()).hexdigest()[:12]
+                k, _, v = line.partition(":")
+                k = k.strip()
+                if k in keys and k not in ident:
+                    v = v.strip()
+                    if k == "flags":
+                        v = " ".join(sorted(v.split()))
+                    ident[k] = v
     except OSError:
         pass
+    if ident:
+        feats = "|".join(f"{k}={ident.get(k, '')}" for k in keys)
+        return hashlib.sha256(feats.encode()).hexdigest()[:12]
     import platform
 
     return hashlib.sha256(
