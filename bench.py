@@ -58,6 +58,13 @@ def main():
 
     best = time_frame_step(plan, y, u, v, n_short=2, n_long=26)
     fps = BATCH / best
+
+    # fidelity gate: worst-plane PSNR vs the CPU oracle at a reduced size
+    # (same flagship config, same production kernels — a silent kernel
+    # regression flips this red even while the fps number stays green)
+    from transform360_tpu.fidelity import bench_fidelity
+
+    fid = bench_fidelity()
     print(
         json.dumps(
             {
@@ -65,6 +72,8 @@ def main():
                 "value": round(fps, 2),
                 "unit": "frames/sec",
                 "vs_baseline": round(fps / BASELINE_FPS, 4),
+                "psnr_vs_oracle_db": round(fid["worst_db"], 2),
+                "psnr_pass_50db": bool(fid["worst_db"] >= 50.0),
             }
         )
     )

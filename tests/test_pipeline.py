@@ -381,6 +381,29 @@ def test_pixel_format_yuv422p(rng):
         assert psnr(g, w_) >= 50.0
 
 
+def test_pixel_format_yuv440p(rng):
+    """yuv440p: full-width, half-height chroma (shifts 0/1)."""
+    from transform360_tpu import oracle
+    from transform360_tpu.plan import build_plan as bp
+
+    cfg = TransformConfig(
+        interpolation_alg=Interpolation.CUBIC, enable_low_pass_filter=1, **MONO
+    )
+    y, _, _ = make_yuv(rng, 128, 256)
+    gy, gx = np.mgrid[0:64, 0:256]
+    u = np.clip(128 + 60 * np.sin(gx / 5.0), 0, 255).astype(np.uint8)
+    v = np.clip(128 + 60 * np.cos(gy / 4.0), 0, 255).astype(np.uint8)
+    plan = bp(cfg, 256, 128, 96, 64, pix_fmt="yuv440p")
+    assert (plan.chroma.in_w, plan.chroma.in_h) == (256, 64)
+    assert (plan.chroma.out_w, plan.chroma.out_h) == (96, 32)
+    got = transform_batch(plan, y, u, v)
+    want = oracle.transform_frame_planar(cfg, (y, u, v), 96, 64, "yuv440p")
+    for g, w_ in zip(got, want):
+        g = np.asarray(g)
+        assert g.shape == w_.shape
+        assert psnr(g, w_) >= 50.0
+
+
 def test_pixel_format_gbrp(rng):
     """Planar RGB rides the same 2-map-plane machinery: the reference
     declares no pix-fmt list so FFmpeg feeds it gbrp, and planes 1/2 use

@@ -453,6 +453,8 @@ PIXEL_FORMATS = {
         PixelFormat("yuvj444p", 3, 0, 0),
         PixelFormat("yuv411p", 3, 2, 0),
         PixelFormat("yuv410p", 3, 2, 2),
+        PixelFormat("yuv440p", 3, 0, 1),
+        PixelFormat("yuvj440p", 3, 0, 1),
         # Planar RGB: the reference filter declares no pix-fmt list, so
         # FFmpeg will feed it gbrp; every plane is full-res (shifts 0/0)
         # and planes 1/2 ride the "chroma" map like any other format

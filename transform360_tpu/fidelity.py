@@ -1,0 +1,100 @@
+"""Driver-visible fidelity gate: PSNR vs the CPU oracle, cheap enough to
+run inside every benchmark invocation.
+
+Round-2 state was fps-only benches with PSNR evidence living in manually
+run tools (tools/psnr_check.py) — a silent kernel regression would have
+kept the bench green.  :func:`bench_fidelity` runs the flagship config at
+a reduced size (the kernels and plan machinery are size-generic; the
+oracle costs seconds instead of ~40 s at full 4K) and returns the
+worst-plane PSNR, which bench.py emits alongside the fps number.
+
+On a TPU backend the production Pallas kernels are exercised on BOTH lane
+sub-paths (pack2 for half-occupancy batches, and the plain padded kernel
+that the batch-128 headline uses); on CPU the XLA gather path runs.  The
+reference behavior being checked is the full filter pipeline
+(``VideoFrameTransform.cpp:707-794``: prefilter -> cv::remap) via the
+declared golden oracle (:mod:`transform360_tpu.oracle`).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import numpy as np
+
+
+def _video_like_planes(in_w: int, in_h: int):
+    """Synthetic but smooth, video-like planes (pure noise would hide
+    interpolation-weight bugs behind its flat spectrum)."""
+    from .config import chroma_dims
+
+    rng = np.random.default_rng(7)
+    yy, xx = np.mgrid[0:in_h, 0:in_w]
+    y = np.clip(
+        128 + 70 * np.sin(xx / 17.0) * np.cos(yy / 11.0)
+        + 40 * np.sin((xx + 2 * yy) / 5.0) + rng.normal(0, 6, (in_h, in_w)),
+        0, 255,
+    ).astype(np.uint8)
+    cw, ch = chroma_dims(in_w, in_h)
+    u = np.clip(
+        128 + 50 * np.sin(np.mgrid[0:ch, 0:cw][1] / 9.0), 0, 255
+    ).astype(np.uint8)
+    v = np.clip(
+        128 + 50 * np.cos(np.mgrid[0:ch, 0:cw][0] / 7.0), 0, 255
+    ).astype(np.uint8)
+    return y, u, v
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return float(10 * np.log10(255.0**2 / mse)) if mse else 99.0
+
+
+def bench_fidelity(
+    in_wh: Tuple[int, int] = (1024, 512),
+    out_wh: Tuple[int, int] = (384, 256),
+    batch: int = 12,
+) -> Dict[str, float]:
+    """Worst-plane PSNR of the production pipeline vs the oracle at the
+    flagship config (cubic + adaptive prefilter), small size.
+
+    Returns ``{"worst_db": x, "Y": ..., "U": ..., "V": ...}`` where the
+    per-plane values are the minimum over the kernel paths exercised.
+    """
+    from . import oracle, pipeline
+    from .config import StereoFormat, TransformConfig
+    from .pipeline import transform_batch
+    from .plan import build_plan
+
+    in_w, in_h = in_wh
+    out_w, out_h = out_wh
+    cfg = TransformConfig(
+        input_stereo_format=StereoFormat.MONO,
+        output_stereo_format=StereoFormat.MONO,
+    )
+    plan = build_plan(cfg, in_w, in_h, out_w, out_h)
+    y, u, v = _video_like_planes(in_w, in_h)
+    want = oracle.transform_frame_yuv420(cfg, (y, u, v), out_w, out_h)
+
+    yb = np.broadcast_to(y, (batch,) + y.shape)
+    ub = np.broadcast_to(u, (batch,) + u.shape)
+    vb = np.broadcast_to(v, (batch,) + v.shape)
+
+    # run the default routing for this batch AND (on kernel backends) the
+    # plain lane kernel with pair-packing pinned off — the batch-128
+    # headline path; a regression in either kernel family must flip the
+    # gate red
+    pack_modes = (True, False) if pipeline.LANE_PACK2 else (False,)
+    out: Dict[str, float] = {}
+    old_pack = pipeline.LANE_PACK2
+    try:
+        for pack in pack_modes:
+            pipeline.LANE_PACK2 = pack
+            got = [np.asarray(p[0]) for p in transform_batch(plan, yb, ub, vb)]
+            for pname, g, w in zip("YUV", got, want):
+                db = psnr(g, w)
+                out[pname] = min(out.get(pname, np.inf), db)
+    finally:
+        pipeline.LANE_PACK2 = old_pack
+    out["worst_db"] = min(out[p] for p in "YUV")
+    return out

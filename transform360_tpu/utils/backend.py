@@ -33,8 +33,15 @@ def _host_fingerprint() -> str:
     model/stepping/model-name too.  TPU entries are unaffected either way
     — their key includes the compiler build.
     """
-    keys = ("vendor_id", "cpu family", "model", "stepping", "model name",
-            "flags")
+    keys = (
+        # x86
+        "vendor_id", "cpu family", "model", "stepping", "model name",
+        "flags",
+        # ARM (/proc/cpuinfo has no x86 keys there; 'Features' is the
+        # flags analog, the rest identify the core)
+        "CPU implementer", "CPU architecture", "CPU variant", "CPU part",
+        "CPU revision", "Features",
+    )
     ident = {}
     try:
         with open("/proc/cpuinfo") as f:
@@ -43,7 +50,7 @@ def _host_fingerprint() -> str:
                 k = k.strip()
                 if k in keys and k not in ident:
                     v = v.strip()
-                    if k == "flags":
+                    if k in ("flags", "Features"):
                         v = " ".join(sorted(v.split()))
                     ident[k] = v
     except OSError:
