@@ -157,16 +157,40 @@ def _assert_tie_flips_balanced(got, want, rate=1e-3):
     assert abs(signed.mean()) < rate / 10, f"one-sided bias {signed.mean()}"
 
 
-def test_pack2_matches_plain(rng):
-    """Half-occupancy pair packing: two tiles per grid step (tile A in
-    lanes 0..63, B in 64..127) must match the plain lane kernel to 1 LSB
-    — the merged contraction uses the same weights but its fused shape
-    can resolve float rounding ties differently (~1e-5 of elements)."""
+def _run_pack_case(rng, lplan, pp, k, B):
     from transform360_tpu.ops.remap_lane import (
-        build_lane_pack2,
-        remap_lane_hwb_pack2,
+        build_lane_pack,
+        remap_lane_hwb_pack,
     )
 
+    packp = build_lane_pack(lplan, k)
+    assert packp is not None and packp.packs
+    # every tile is covered by the entry permutation (tail-group repeats
+    # may cover a tile more than once; each extra slot is a recompute)
+    ids = np.concatenate(
+        [pc.ids.reshape(-1) for pc in packp.packs]
+        + [c.meta[0] for c in packp.normal]
+        + ([] if lplan.fb_ids is None else [lplan.fb_ids])
+    )
+    assert sorted(set(ids)) == list(range(lplan.n_tiles))
+
+    G = 128 // k
+    assert B <= G
+    x = rng.integers(0, 256, (B, pp.in_h, pp.in_w), dtype=np.uint8)
+    want = np.asarray(remap_lane(lplan, jnp.asarray(x), interpret=True))
+    c = np.concatenate([x, np.zeros((G - B,) + x.shape[1:], np.uint8)])
+    c = np.concatenate([c] * k)  # duplicate into every lane group
+    ct = jnp.transpose(jnp.asarray(c), (1, 2, 0))
+    got = np.asarray(remap_lane_hwb_pack(packp, ct, interpret=True))
+    assert got.shape[0] == G
+    _assert_tie_flips_balanced(got[:B], want)
+
+
+def test_pack2_matches_plain(rng):
+    """Low-occupancy tile packing (K tiles per grid step, one per lane
+    group) must match the plain lane kernel to 1 LSB — the merged
+    contraction uses the same weights but its fused shape can resolve
+    float rounding ties differently (~1e-5 of elements)."""
     for alg, layout in (
         (Interpolation.CUBIC, Layout.CUBEMAP_32),
         (Interpolation.LINEAR, Layout.BARREL),   # transparent border + pad
@@ -179,55 +203,54 @@ def test_pack2_matches_plain(rng):
         plan = build_plan(cfg, 128, 64, out_wh[0], out_wh[1])
         pp = plan.luma
         lplan = build_lane_remap(pp.spec, pp.fill)
-        pairp = build_lane_pack2(lplan)
-        assert pairp is not None and pairp.pairs
-        # every tile is covered exactly once by the entry permutation
-        ids = np.concatenate(
-            [pc.ids_a for pc in pairp.pairs]
-            + [pc.ids_b[pc.ids_b != pc.ids_a] for pc in pairp.pairs]
-            + [c.meta[0] for c in pairp.normal]
-            + ([] if lplan.fb_ids is None else [lplan.fb_ids])
-        )
-        assert sorted(ids) == list(range(lplan.n_tiles))
-
-        B = 5
-        x = rng.integers(0, 256, (B, pp.in_h, pp.in_w), dtype=np.uint8)
-        want = np.asarray(remap_lane(lplan, jnp.asarray(x), interpret=True))
-        c = np.concatenate([x, np.zeros((64 - B,) + x.shape[1:], np.uint8)])
-        c = np.concatenate([c, c])  # duplicate into lanes 64..127
-        ct = jnp.transpose(jnp.asarray(c), (1, 2, 0))
-        got = np.asarray(remap_lane_hwb_pack2(pairp, ct, interpret=True))
-        assert got.shape[0] == 64
-        _assert_tie_flips_balanced(got[:B], want)
+        _run_pack_case(rng, lplan, pp, 2, B=5)
 
 
-def test_pack2_pipeline_routing(rng):
-    """The executor takes the pack2 path for 9 <= batch <= 64 and the
-    output matches the plain lane path (TRANSFORM360_LANE_PACK2=0)."""
-    from transform360_tpu import pipeline
-
+def test_pack4_pack8_match_plain(rng):
+    """The generalized pack factors (4 tiles / 8 tiles per step) agree
+    with the plain kernel at their occupancy levels, including odd tail
+    groups that repeat their last tile."""
     cfg = TransformConfig(interpolation_alg=Interpolation.CUBIC, **MONO)
     plan = build_plan(cfg, 128, 64, 96, 64)
-    x = rng.integers(0, 256, (12, plan.luma.in_h, plan.luma.in_w), np.uint8)
-    old_pack2, old_min = pipeline.LANE_PACK2, pipeline.LANE_MIN_BATCH
+    pp = plan.luma
+    lplan = build_lane_remap(pp.spec, pp.fill)
+    _run_pack_case(rng, lplan, pp, 4, B=25)
+    _run_pack_case(rng, lplan, pp, 8, B=11)
+
+
+def test_pack_pipeline_routing(rng):
+    """The executor picks the largest fitting pack factor per batch
+    (batch 12 -> K=8, 25 -> K=4, 60 -> K=2) and each output matches the
+    plain lane path (LANE_PACK_MAX=1)."""
+    from transform360_tpu import pipeline
+
+    assert pipeline._pack_k_for_batch(12) == min(8, pipeline.LANE_PACK_MAX)
+    cfg = TransformConfig(interpolation_alg=Interpolation.CUBIC, **MONO)
+    plan = build_plan(cfg, 128, 64, 96, 64)
+    old_pack, old_min = pipeline.LANE_PACK_MAX, pipeline.LANE_MIN_BATCH
     try:
         pipeline.LANE_MIN_BATCH = 1
-        pipeline.clear_executor_cache()
-        pipeline.LANE_PACK2 = True
-        prog = pipeline._plane_program(plan.luma, use_pallas=True,
-                                       interpret=True)
-        a = np.asarray(prog(jnp.asarray(x)))
-        pipeline.clear_executor_cache()
-        pipeline.LANE_PACK2 = False
-        prog = pipeline._plane_program(plan.luma, use_pallas=True,
-                                       interpret=True)
-        b = np.asarray(prog(jnp.asarray(x)))
+        for B, want_k in ((12, 8), (25, 4), (60, 2)):
+            x = rng.integers(
+                0, 256, (B, plan.luma.in_h, plan.luma.in_w), np.uint8
+            )
+            pipeline.LANE_PACK_MAX = 8
+            assert pipeline._pack_k_for_batch(B) == want_k
+            pipeline.clear_executor_cache()
+            prog = pipeline._plane_program(plan.luma, use_pallas=True,
+                                           interpret=True)
+            a = np.asarray(prog(jnp.asarray(x)))
+            pipeline.clear_executor_cache()
+            pipeline.LANE_PACK_MAX = 1
+            prog = pipeline._plane_program(plan.luma, use_pallas=True,
+                                           interpret=True)
+            b = np.asarray(prog(jnp.asarray(x)))
+            assert a.shape == (B, 64, 96)
+            # same 1-LSB rounding-tie allowance as the pack parity tests
+            _assert_tie_flips_balanced(a, b)
     finally:
-        pipeline.LANE_PACK2, pipeline.LANE_MIN_BATCH = old_pack2, old_min
+        pipeline.LANE_PACK_MAX, pipeline.LANE_MIN_BATCH = old_pack, old_min
         pipeline.clear_executor_cache()
-    assert a.shape == (12, 64, 96)
-    # same 1-LSB rounding-tie allowance as test_pack2_matches_plain
-    _assert_tie_flips_balanced(a, b)
 
 
 def test_circular_origin_rows_matches_scalar(rng):

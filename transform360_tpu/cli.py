@@ -109,6 +109,15 @@ def build_parser() -> argparse.ArgumentParser:
              "free C++ engine (CPU, the reference's threading model) — "
              "no JAX required",
     )
+    p.add_argument(
+        "--distributed", default=None, metavar="SPEC",
+        help="join a multi-host JAX run before building the mesh: 'env' "
+             "(use JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES/"
+             "JAX_PROCESS_ID, or a managed TPU pod's auto-detection) or "
+             "'HOST:PORT,NPROC,PID'; combine with --devices 0 for the "
+             "global mesh. Each process feeds and writes its own frame "
+             "slice.",
+    )
     return p
 
 
@@ -122,6 +131,10 @@ def main(argv=None) -> int:
             return 2
         if args.save_plan or args.load_plan:
             print("error: plan files apply to the JAX backend only",
+                  file=sys.stderr)
+            return 2
+        if args.distributed:
+            print("error: --distributed requires the JAX backend",
                   file=sys.stderr)
             return 2
     else:
@@ -164,6 +177,20 @@ def main(argv=None) -> int:
         print("error: video-container output requires yuv420p",
               file=sys.stderr)
         return 2
+
+    if args.distributed:
+        from .parallel import distributed as dist
+
+        if args.distributed == "env":
+            dist.initialize()
+        else:
+            try:
+                coord, nproc, pid = args.distributed.split(",")
+                dist.initialize(coord, int(nproc), int(pid))
+            except ValueError:
+                print("error: --distributed expects 'env' or "
+                      "'HOST:PORT,NPROC,PID'", file=sys.stderr)
+                return 2
 
     mesh = None
     if args.devices != 1:

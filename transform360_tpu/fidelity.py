@@ -9,7 +9,7 @@ oracle costs seconds instead of ~40 s at full 4K) and returns the
 worst-plane PSNR, which bench.py emits alongside the fps number.
 
 On a TPU backend the production Pallas kernels are exercised on BOTH lane
-sub-paths (pack2 for half-occupancy batches, and the plain padded kernel
+sub-paths (pack-K for low-occupancy batches, and the plain padded kernel
 that the batch-128 headline uses); on CPU the XLA gather path runs.  The
 reference behavior being checked is the full filter pipeline
 (``VideoFrameTransform.cpp:707-794``: prefilter -> cv::remap) via the
@@ -81,20 +81,20 @@ def bench_fidelity(
     vb = np.broadcast_to(v, (batch,) + v.shape)
 
     # run the default routing for this batch AND (on kernel backends) the
-    # plain lane kernel with pair-packing pinned off — the batch-128
+    # plain lane kernel with tile-packing pinned off — the batch-128
     # headline path; a regression in either kernel family must flip the
     # gate red
-    pack_modes = (True, False) if pipeline.LANE_PACK2 else (False,)
+    old_pack = pipeline.LANE_PACK_MAX
+    pack_modes = (old_pack, 1) if old_pack > 1 else (1,)
     out: Dict[str, float] = {}
-    old_pack = pipeline.LANE_PACK2
     try:
         for pack in pack_modes:
-            pipeline.LANE_PACK2 = pack
+            pipeline.LANE_PACK_MAX = pack
             got = [np.asarray(p[0]) for p in transform_batch(plan, yb, ub, vb)]
             for pname, g, w in zip("YUV", got, want):
                 db = psnr(g, w)
                 out[pname] = min(out.get(pname, np.inf), db)
     finally:
-        pipeline.LANE_PACK2 = old_pack
+        pipeline.LANE_PACK_MAX = old_pack
     out["worst_db"] = min(out[p] for p in "YUV")
     return out

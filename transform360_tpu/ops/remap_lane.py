@@ -87,45 +87,48 @@ class LaneClass:
 
 
 @dataclasses.dataclass(frozen=True)
-class LanePairClass:
-    """Two output tiles per grid step (half-occupancy batches).
+class LanePackClass:
+    """K output tiles per grid step (1/K-occupancy batches).
 
-    At batch <= 64 every vreg is half padding: frames live in the 128
-    vector lanes and a pass costs the same at any occupancy.  This class
-    packs TWO tiles of the same window rung into each step — tile A is
-    served by lanes 0..63, tile B by lanes 64..127 (the caller duplicates
-    the <=64 real frames into the upper lanes).  Per pixel the two
-    halves' y-tap accumulations are computed separately (their window
-    slices differ), then merged with ONE lane-select so the
-    x-contraction, rounding and store are shared.
+    At batch <= 128/K every vreg is mostly padding: frames live in the
+    128 vector lanes and a pass costs the same at any occupancy.  This
+    class packs K tiles of the same window rung into each step — tile h
+    is served by lane group [h*G, (h+1)*G), G = 128/K (the caller
+    duplicates its <=G real frames into every group).  Per pixel the K
+    y-tap accumulations are computed separately (their window slices
+    differ), then merged with K-1 lane-selects so the x-contraction,
+    rounding and store are shared by all K tiles.
     """
 
+    k: int
     win_h: int
     win_w: int
-    n: int              # pairs
+    n: int              # groups (grid steps)
     double_buf: bool
-    meta: np.ndarray    # [4, n] i32: y0a, x0a, y0b, x0b (x % 8 == 0)
-    ids_a: np.ndarray   # [n] tile linear ids (host-side, for assembly)
-    ids_b: np.ndarray   # [n]; ids_b[i] == ids_a[i] marks a self-pair
-    idx: np.ndarray     # [n, 6, TPo] i32: lyA, lxqA, codeA, lyB, lxqB, codeB
-    wyb: np.ndarray     # [n, 2T + 2, TPo] f32: A taps, B taps, A bias, B bias
+    unpack_f32: bool    # pre-unpack each window to an f32 scratch
+    meta: np.ndarray    # [2K, n] i32: y0_h, x0_h per slot (x % 8 == 0)
+    ids: np.ndarray     # [K, n] tile linear ids (host-side assembly);
+                        # a tail group repeats its last real tile
+    idx: np.ndarray     # [n, 3K, TPo] i32: (ly, lxq, code) per slot
+    wyb: np.ndarray     # [n, K*T + K, TPo] f32: K tap blocks, K biases
 
 
 @dataclasses.dataclass(frozen=True)
-class LanePairPlan:
-    """Pack2 execution plan derived from a :class:`LaneRemapPlan`.
+class LanePackPlan:
+    """Pack-K execution plan derived from a :class:`LaneRemapPlan`.
 
-    ``pairs`` covers every class whose doubled window scratch fits VMEM;
+    ``packs`` covers every class whose K-fold window scratch fits VMEM;
     ``normal`` keeps the leftovers on the plain kernel (their tiles are
     read out of the base grid).  ``perm`` maps each output tile to its
-    source entry in [pair A-halves..., pair B-halves..., base grid...].
+    source entry in [class0 slot0..., class0 slot1..., ..., base grid].
     """
 
     base: "LaneRemapPlan"
-    pairs: Tuple[LanePairClass, ...]
+    k: int
+    packs: Tuple[LanePackClass, ...]
     normal: Tuple[LaneClass, ...]
     perm: np.ndarray    # [n_tiles] i32 entry index
-    n_pair_entries: int
+    n_pack_entries: int
 
 
 @dataclasses.dataclass(frozen=True)
@@ -458,67 +461,80 @@ def build_lane_remap(spec: SampleSpec, fill: float) -> Optional[LaneRemapPlan]:
     )
 
 
-def build_lane_pack2(plan: Optional[LaneRemapPlan]) -> Optional[LanePairPlan]:
-    """Derive the half-occupancy pack2 plan from a built lane plan.
+def build_lane_pack(
+    plan: Optional[LaneRemapPlan], k: int
+) -> Optional[LanePackPlan]:
+    """Derive the 1/K-occupancy pack plan from a built lane plan.
 
-    Pairs consecutive tiles within each window class (they are tile-major,
-    so neighbors share DMA locality); an odd leftover self-pairs (its B
-    half recomputes the same tile — harmless).  Classes whose doubled
-    window scratch would not fit the VMEM budget stay on the plain
-    kernel.  Returns None when nothing is pairable.
+    Groups K consecutive tiles within each window class (they are
+    tile-major, so neighbors share DMA locality); a tail group repeats
+    its last tile in the leftover slots (harmless recompute).  Classes
+    whose K-fold window scratch would not fit the VMEM budget stay on
+    the plain kernel.  Returns None when nothing is packable.
     """
     if plan is None:
         return None
+    assert k in (2, 4, 8) and LANES % k == 0, k
     T = plan.taps
-    pairs: List[LanePairClass] = []
+    packs: List[LanePackClass] = []
     normal: List[LaneClass] = []
     for cls in plan.classes:
         wbytes = cls.win_h * cls.win_w * LANES
-        nbuf = 2 if 2 * wbytes <= _DOUBLE_BUF_BYTES else 1
-        if 2 * nbuf * wbytes > _WINDOW_BYTES_MAX:
+        nbuf = 2 if k * wbytes <= _DOUBLE_BUF_BYTES else 1
+        if k * nbuf * wbytes > _WINDOW_BYTES_MAX:
             normal.append(cls)
             continue
         n = cls.n
-        i0 = np.arange(0, n, 2)
-        i1 = np.minimum(i0 + 1, n - 1)  # odd leftover self-pairs
-        pairs.append(
-            LanePairClass(
+        i0 = np.arange(0, n, k)
+        slots = [np.minimum(i0 + h, n - 1) for h in range(k)]
+        packs.append(
+            LanePackClass(
+                k=k,
                 win_h=cls.win_h,
                 win_w=cls.win_w,
                 n=i0.size,
                 double_buf=nbuf == 2,
+                # same reuse criterion as the plain kernel's gate (the
+                # unpack amortizes over one tile's slices either way);
+                # the VMEM budget scales with the K-fold scratch
+                unpack_f32=(
+                    T >= 4
+                    and 5 * cls.win_h * cls.win_w <= 2 * TPo * T * XW
+                    and k * (nbuf + 4) * wbytes <= _WINDOW_BYTES_MAX
+                ),
                 meta=np.stack(
-                    [cls.meta[1, i0], cls.meta[2, i0],
-                     cls.meta[1, i1], cls.meta[2, i1]]
+                    [cls.meta[m, ih] for ih in slots for m in (1, 2)]
                 ).astype(np.int32),
-                ids_a=cls.meta[0, i0].astype(np.int64),
-                ids_b=cls.meta[0, i1].astype(np.int64),
-                idx=np.concatenate([cls.idx[i0], cls.idx[i1]], axis=1),
+                ids=np.stack([cls.meta[0, ih] for ih in slots]).astype(
+                    np.int64
+                ),
+                idx=np.concatenate([cls.idx[ih] for ih in slots], axis=1),
                 wyb=np.concatenate(
-                    [cls.wyb[i0, :T], cls.wyb[i1, :T],
-                     cls.wyb[i0, T:], cls.wyb[i1, T:]],
+                    [cls.wyb[ih, :T] for ih in slots]
+                    + [cls.wyb[ih, T:] for ih in slots],
                     axis=1,
                 ),
             )
         )
-    if not pairs:
+    if not packs:
         return None
-    # entry table: [class0 A..., class0 B..., class1 A..., ..., base grid]
-    n_pair_entries = sum(2 * pc.n for pc in pairs)
-    perm = np.arange(plan.n_tiles, dtype=np.int64) + n_pair_entries
+    # entry table: [class0 slot0..., class0 slot1..., ..., base grid]
+    n_pack_entries = sum(k * pc.n for pc in packs)
+    perm = np.arange(plan.n_tiles, dtype=np.int64) + n_pack_entries
     off = 0
-    for pc in pairs:
-        perm[pc.ids_a] = off + np.arange(pc.n)
-        # self-pairs: B recomputes A's tile; either entry is correct, and
-        # assigning B after A simply prefers the B half there
-        perm[pc.ids_b] = off + pc.n + np.arange(pc.n)
-        off += 2 * pc.n
-    return LanePairPlan(
+    for pc in packs:
+        for h in range(k):
+            # tail-group repeats: every slot holding a tile is correct;
+            # later assignments simply win
+            perm[pc.ids[h]] = off + h * pc.n + np.arange(pc.n)
+        off += k * pc.n
+    return LanePackPlan(
         base=plan,
-        pairs=tuple(pairs),
+        k=k,
+        packs=tuple(packs),
         normal=tuple(normal),
         perm=perm.astype(np.int32),
-        n_pair_entries=n_pair_entries,
+        n_pack_entries=n_pack_entries,
     )
 
 
@@ -753,21 +769,24 @@ def _run_lane_fallback(plan: LaneRemapPlan, padded, tiles_out):
     return tiles_out
 
 
-def _make_pair_kernel(plan: LaneRemapPlan, pc: LanePairClass):
+def _make_pack_kernel(plan: LaneRemapPlan, pc: LanePackClass):
     T = plan.taps
+    k = pc.k
+    G = LANES // k
     wh, ww = pc.win_h, pc.win_w
     n = pc.n
     nbuf = 2 if pc.double_buf else 1
     chunks = _dma_chunks(wh)
 
-    def kernel(meta_ref, idx_ref, wyb_ref, wt_ref, src_ref, out_ref,
-               win_a, win_b, sems):
+    def kernel(meta_ref, idx_ref, wyb_ref, wt_ref, src_ref, out_ref, *scr):
+        wins = scr[:k]
+        sems = scr[k]
+        wf32s = scr[k + 1 :] if pc.unpack_f32 else ()
         i = pl.program_id(0)
-        halves = ((0, win_a), (1, win_b))
 
         def dmas(slot, t):
             copies = []
-            for h, win in halves:
+            for h, win in enumerate(wins):
                 y0 = meta_ref[2 * h, t]
                 x0 = pl.multiple_of(meta_ref[2 * h + 1, t], 8)
                 copies += [
@@ -801,40 +820,63 @@ def _make_pair_kernel(plan: LaneRemapPlan, pc: LanePairClass):
             for c in dmas(0, i):
                 c.wait()
 
-        # lanes 0..63 carry tile A, 64..127 tile B (duplicated frames)
-        mask16 = (
-            jax.lax.broadcasted_iota(jnp.int32, (1, XW, LANES), 2)
-            < LANES // 2
-        )
-        maskb = (
-            jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1) < LANES // 2
-        )
+        if pc.unpack_f32:
+            # whole-window u8 -> f32 unpack, once per step per slot (the
+            # same amortization as the plain kernel's wf32 scratch);
+            # static slot index per branch — a dynamic leading index on
+            # the copy source lowers to a slow path
+            for h in range(k):
+                if nbuf == 1:
+                    wf32s[h][...] = (
+                        wins[h][0].astype(jnp.int32).astype(jnp.float32)
+                    )
+                else:
+                    for sl in range(nbuf):
+                        @pl.when(slot == sl)
+                        def _(h=h, sl=sl):
+                            wf32s[h][...] = (
+                                wins[h][sl]
+                                .astype(jnp.int32)
+                                .astype(jnp.float32)
+                            )
+
+        # lane group h = lanes [h*G, (h+1)*G) carries tile h's frames
+        lane16 = jax.lax.broadcasted_iota(jnp.int32, (1, XW, LANES), 2)
+        laneb = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
 
         def body(o, carry):
             rows = []
             for s in range(TH):
                 px = o * TH + s
-                accs = []
-                for h, win in halves:
+                accs, wvs = [], []
+                for h in range(k):
                     ly = idx_ref[0, 3 * h, px]
                     lxq = pl.multiple_of(idx_ref[0, 3 * h + 1, px], 8)
-                    v = win[slot, pl.ds(ly, T), pl.ds(lxq, XW), :]
-                    vf = v.astype(jnp.int32).astype(jnp.float32)
+                    if pc.unpack_f32:
+                        vf = wf32s[h][pl.ds(ly, T), pl.ds(lxq, XW), :]
+                    else:
+                        v = wins[h][slot, pl.ds(ly, T), pl.ds(lxq, XW), :]
+                        vf = v.astype(jnp.int32).astype(jnp.float32)
                     a = None
                     for t in range(T):
                         term = wyb_ref[0, h * T + t, px] * vf[t : t + 1]
                         a = term if a is None else a + term
                     accs.append(a)
-                # one lane-select merge; the contraction + epilogue below
-                # is then shared by both tiles — the pack2 saving
-                acc16 = jnp.where(mask16, accs[0], accs[1])
-                wva = wt_ref[pl.ds(idx_ref[0, 2, px], 1), :, :]
-                wvb = wt_ref[pl.ds(idx_ref[0, 5, px], 1), :, :]
-                wv = jnp.where(mask16, wva, wvb)
+                    wvs.append(
+                        wt_ref[pl.ds(idx_ref[0, 3 * h + 2, px], 1), :, :]
+                    )
+                # K-1 lane-select merges; the contraction + epilogue
+                # below is then shared by all K tiles — the pack saving
+                acc16, wv = accs[0], wvs[0]
+                bias = wyb_ref[0, k * T, px]
+                for h in range(1, k):
+                    m = lane16 >= h * G
+                    acc16 = jnp.where(m, accs[h], acc16)
+                    wv = jnp.where(m, wvs[h], wv)
+                    bias = jnp.where(
+                        laneb >= h * G, wyb_ref[0, k * T + h, px], bias
+                    )
                 xa = jnp.sum(acc16 * wv, axis=1)
-                bias = jnp.where(
-                    maskb, wyb_ref[0, 2 * T, px], wyb_ref[0, 2 * T + 1, px]
-                )
                 rows.append(xa + bias)
             blk = jnp.concatenate(rows, axis=0)
             blk = jnp.clip(jnp.floor(blk + 0.5), 0.0, 255.0)
@@ -848,19 +890,32 @@ def _make_pair_kernel(plan: LaneRemapPlan, pc: LanePairClass):
     return kernel
 
 
-def _run_pair_class(plan: LaneRemapPlan, pc: LanePairClass, padded,
+def _run_pack_class(plan: LaneRemapPlan, pc: LanePackClass, padded,
                     interpret):
-    """padded: uint8 [hp, wp, LANES] (lanes 64..127 duplicate 0..63);
-    out: uint8 [n_pairs, TW, TH, LANES] — A tiles in lanes :64, B in 64:."""
+    """padded: uint8 [hp, wp, LANES] (lane groups duplicate group 0);
+    out: uint8 [n_groups, TW, TH, LANES] — slot h's tile in its group."""
     T = plan.taps
+    k = pc.k
     nbuf = 2 if pc.double_buf else 1
+    scratch = [
+        pltpu.VMEM((nbuf, pc.win_h, pc.win_w, LANES), jnp.uint8)
+        for _ in range(k)
+    ]
+    scratch.append(
+        pltpu.SemaphoreType.DMA((nbuf, k, len(_dma_chunks(pc.win_h))))
+    )
+    if pc.unpack_f32:
+        scratch += [
+            pltpu.VMEM((pc.win_h, pc.win_w, LANES), jnp.float32)
+            for _ in range(k)
+        ]
     gs = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(pc.n,),
         in_specs=[
-            pl.BlockSpec((1, 6, TPo), lambda i, m: (i, 0, 0),
+            pl.BlockSpec((1, 3 * k, TPo), lambda i, m: (i, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 2 * T + 2, TPo), lambda i, m: (i, 0, 0),
+            pl.BlockSpec((1, k * T + k, TPo), lambda i, m: (i, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((256, XW, 1), lambda i, m: (0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -871,14 +926,10 @@ def _run_pair_class(plan: LaneRemapPlan, pc: LanePairClass, padded,
             lambda i, m: (i, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        scratch_shapes=[
-            pltpu.VMEM((nbuf, pc.win_h, pc.win_w, LANES), jnp.uint8),
-            pltpu.VMEM((nbuf, pc.win_h, pc.win_w, LANES), jnp.uint8),
-            pltpu.SemaphoreType.DMA((nbuf, 2, len(_dma_chunks(pc.win_h)))),
-        ],
+        scratch_shapes=scratch,
     )
     return pl.pallas_call(
-        _make_pair_kernel(plan, pc),
+        _make_pack_kernel(plan, pc),
         grid_spec=gs,
         out_shape=jax.ShapeDtypeStruct((pc.n, TW, TH, LANES), jnp.uint8),
         interpret=interpret,
@@ -887,16 +938,16 @@ def _run_pair_class(plan: LaneRemapPlan, pc: LanePairClass, padded,
       padded)
 
 
-def _remap_core_pack2(pp: LanePairPlan, padded, interpret) -> jnp.ndarray:
-    """padded [hp, wp, 128] with lanes 64..127 duplicating 0..63 ->
-    output [out_h, out_w, 64] (lane layout, half occupancy)."""
+def _remap_core_pack(pp: LanePackPlan, padded, interpret) -> jnp.ndarray:
+    """padded [hp, wp, 128] with lane groups duplicating group 0 ->
+    output [out_h, out_w, 128/K] (lane layout, 1/K occupancy)."""
     plan = pp.base
-    H = LANES // 2
+    G = LANES // pp.k
     entries = []
-    for pc in pp.pairs:
-        o = _run_pair_class(plan, pc, padded, interpret)
-        entries.append(o[..., :H])
-        entries.append(o[..., H:])
+    for pc in pp.packs:
+        o = _run_pack_class(plan, pc, padded, interpret)
+        for h in range(pp.k):
+            entries.append(o[..., h * G : (h + 1) * G])
     need_base = bool(pp.normal) or plan.fb_ids is not None
     if need_base:
         base = None
@@ -907,28 +958,28 @@ def _remap_core_pack2(pp: LanePairPlan, padded, interpret) -> jnp.ndarray:
                 (plan.n_tiles, TW, TH, LANES), int(plan.fill), jnp.uint8
             )
         base = _run_lane_fallback(plan, padded, base)
-        entries.append(base[..., :H])
+        entries.append(base[..., :G])
     all_entries = jnp.concatenate(entries, axis=0)
     out = jnp.take(all_entries, jnp.asarray(pp.perm), axis=0)
     n_ty, n_tx = plan.out_hp // TH, plan.out_wp // TW
-    out = out.reshape(n_ty, n_tx, TW, TH, H)
+    out = out.reshape(n_ty, n_tx, TW, TH, G)
     out = jnp.transpose(out, (0, 3, 1, 2, 4))
-    out = out.reshape(plan.out_hp, plan.out_wp, H)
+    out = out.reshape(plan.out_hp, plan.out_wp, G)
     return out[: plan.out_h, : plan.out_w, :]
 
 
-def remap_lane_hwb_pack2(
-    pp: LanePairPlan, x: jnp.ndarray, interpret: bool = False
+def remap_lane_hwb_pack(
+    pp: LanePackPlan, x: jnp.ndarray, interpret: bool = False
 ) -> jnp.ndarray:
-    """Pack2 remap for half-occupancy lane layouts.
+    """Pack-K remap for 1/K-occupancy lane layouts.
 
-    ``x``: uint8 [H, W, 128] whose lanes 64..127 duplicate lanes 0..63
-    (the caller tiles its <=64 real frames).  Returns uint8
-    [64, out_h, out_w] — only the first 64 lanes, at roughly the plain
-    kernel's per-TILE-PAIR cost instead of per-tile.
+    ``x``: uint8 [H, W, 128] whose lane groups [h*G, (h+1)*G) all
+    duplicate group 0 (the caller tiles its <=G real frames).  Returns
+    uint8 [G, out_h, out_w] — only the first group, at roughly the plain
+    kernel's per-K-TILE-GROUP cost instead of per-tile.
     """
     padded = pad_plane_lane_hwb(pp.base, x)
-    out = _remap_core_pack2(pp, padded, interpret)
+    out = _remap_core_pack(pp, padded, interpret)
     return jnp.transpose(out, (2, 0, 1))
 
 

@@ -7,7 +7,9 @@ over the frame-batch axis: shard ``[B, H, W]`` planes on ``B``, and every
 pipeline stage — prefilter shifts, remap gathers (shared indices, per-lane
 data), INTER_AREA matmuls — stays device-local.  No collectives appear in
 the math path; input scatter / output gather are the only transfers.
-Multi-host scale-out over DCN is the same sharding with a global mesh.
+Multi-host scale-out over DCN is the same sharding with a global mesh
+(:mod:`.distributed`), verified byte-identical to single-process by
+``tests/test_multihost.py`` (2 processes x 4 virtual CPU devices).
 """
 
 from __future__ import annotations

@@ -39,11 +39,11 @@ import numpy as np
 from .filtering import apply_blur
 from .ops.blur_lane import blur_lane, build_blur_lane
 from .ops.remap_lane import (
-    build_lane_pack2,
+    build_lane_pack,
     build_lane_remap,
     remap_lane,
     remap_lane_hwb,
-    remap_lane_hwb_pack2,
+    remap_lane_hwb_pack,
 )
 from .ops.remap_pallas import pallas_eligible, remap_pallas
 from .ops.staging import stage_program, staged
@@ -69,13 +69,20 @@ from .sampling import (
 # real-chip fidelity evidence.
 LANE_MIN_BATCH = int(os.environ.get("TRANSFORM360_LANE_MIN_BATCH", "9"))
 
-# Half-occupancy pair packing: at batch <= 64 the real frames are
-# duplicated into lanes 64..127 and the lane remap runs TWO tiles per
-# grid step (tile A in the lower lanes, tile B in the upper), sharing
-# the x-contraction/round/store between them (ops/remap_lane.py,
-# LanePairClass).  Set TRANSFORM360_LANE_PACK2=0 to fall back to the
-# plain padded pass.
-LANE_PACK2 = os.environ.get("TRANSFORM360_LANE_PACK2", "1") != "0"
+# Low-occupancy tile packing: at batch <= 128/K the real frames are
+# duplicated into every lane group of width 128/K and the lane remap
+# runs K tiles per grid step (one per group), sharing the
+# x-contraction/round/store between them (ops/remap_lane.py,
+# LanePackClass).  LANE_PACK_MAX caps K (1 disables packing; the
+# routing picks the largest K in {2, 4, 8} whose group still holds the
+# batch).  Env: TRANSFORM360_LANE_PACK_MAX, or the legacy
+# TRANSFORM360_LANE_PACK2=0 to disable.
+LANE_PACK_MAX = int(
+    os.environ.get(
+        "TRANSFORM360_LANE_PACK_MAX",
+        "1" if os.environ.get("TRANSFORM360_LANE_PACK2") == "0" else "8",
+    )
+)
 
 _LANE_CACHE: Dict[str, object] = {}
 _LANE_MISS = object()
@@ -100,13 +107,22 @@ def _blur_lane_plan(pp: PlanePlan):
     return bl
 
 
-def _lane_pair_plan(pp: PlanePlan):
-    key = ("pair", pp.key)
+def _lane_pack_plan(pp: PlanePlan, k: int):
+    key = ("pack", k, pp.key)
     lp = _LANE_CACHE.get(key, _LANE_MISS)
     if lp is _LANE_MISS:
-        lp = build_lane_pack2(_lane_plan(pp))
+        lp = build_lane_pack(_lane_plan(pp), k)
         _LANE_CACHE[key] = lp
     return lp
+
+
+def _pack_k_for_batch(b: int) -> int:
+    """Largest pack factor K in {2,4,8} (capped by LANE_PACK_MAX) whose
+    lane group of 128/K lanes still holds the batch; 1 = no packing."""
+    k = 1
+    while k < LANE_PACK_MAX and 2 * k <= 8 and b <= 128 // (2 * k):
+        k *= 2
+    return k
 
 
 def _fixup(pp: PlanePlan):
@@ -130,26 +146,28 @@ def _lane_chunked(pp: PlanePlan, lane, x, interpret):
         x = _round_u8(apply_blur(pp.blur, x.astype(jnp.float32)))
     fix = _fixup(pp)
     B = x.shape[0]
-    if LANE_PACK2 and B <= 64:
-        pairp = _lane_pair_plan(pp)
-        if pairp is not None:
-            # duplicate the (zero-padded-to-64) frames into lanes 64..127
-            # so each pair step serves two tiles at full lane occupancy
+    pack_k = _pack_k_for_batch(B)
+    if pack_k > 1:
+        packp = _lane_pack_plan(pp, pack_k)
+        if packp is not None:
+            # duplicate the (zero-padded) frames into every lane group of
+            # width 128/K so each step serves K tiles at full occupancy
+            G = 128 // pack_k
             c = x
-            if c.shape[0] < 64:
+            if c.shape[0] < G:
                 c = jnp.concatenate(
-                    [c, jnp.zeros((64 - c.shape[0],) + c.shape[1:],
+                    [c, jnp.zeros((G - c.shape[0],) + c.shape[1:],
                                   jnp.uint8)],
                     axis=0,
                 )
-            c = jnp.concatenate([c, c], axis=0)
+            c = jnp.concatenate([c] * pack_k, axis=0)
             ct = jnp.transpose(c, (1, 2, 0))
             if bl is not None:
                 ct = blur_lane(bl, ct, interpret=interpret)
-            o = remap_lane_hwb_pack2(pairp, ct, interpret=interpret)
+            o = remap_lane_hwb_pack(packp, ct, interpret=interpret)
             if fix is not None:
                 vals = _round_u8(
-                    fixup_values(fix, ct.reshape(-1, 128).T)[:64]
+                    fixup_values(fix, ct.reshape(-1, 128).T)[:G]
                 )
                 of = o.reshape(o.shape[0], -1)
                 o = of.at[:, jnp.asarray(fix[0])].set(vals).reshape(o.shape)
@@ -265,7 +283,7 @@ class _StagedExecutor:
         chain it).  LANE_MIN_BATCH is part of the key: the batch-routing
         decision is baked in at trace time, so tools that flip it (e.g.
         psnr_check's dual-path sweep) must not reuse stale traces."""
-        key = (tuple(x.shape), x.dtype, LANE_MIN_BATCH, LANE_PACK2)
+        key = (tuple(x.shape), x.dtype, LANE_MIN_BATCH, LANE_PACK_MAX)
         ent = self._by_shape.get(key)
         if ent is None:
             fn, consts = stage_program(
@@ -285,7 +303,7 @@ def plane_executor(pp: PlanePlan) -> Callable:
     the batch-routing threshold, which the program bakes in at trace
     time)."""
     use_pallas = _use_pallas(pp)
-    key = (pp.key, use_pallas, LANE_MIN_BATCH, LANE_PACK2)
+    key = (pp.key, use_pallas, LANE_MIN_BATCH, LANE_PACK_MAX)
     fn = _EXEC_CACHE.get(key)
     if fn is None:
         fn = _StagedExecutor(_plane_program(pp, use_pallas))
@@ -305,13 +323,29 @@ def device_put_plan(plan: TransformPlan, device=None) -> TransformPlan:
     return plan
 
 
+def _spans_processes(x) -> bool:
+    """True for a jax.Array sharded across more than one process (a
+    multi-host global batch)."""
+    try:
+        devs = x.sharding.device_set
+    except AttributeError:
+        return False
+    return len({d.process_index for d in devs}) > 1
+
+
 def transform_frame_planes(plan: TransformPlan, planes):
     """N-plane device fast path: uint8 [B, H, W] planes in, same layout out.
 
     Plane 0 uses the luma map; every other plane shares the chroma map
     (``vf_transform360.c:372``: ``plane==1||2 ? 1 : 0``).  All chroma
     planes are stacked into ONE kernel invocation — they share every plan
-    constant, so this divides the chroma launch/window overhead."""
+    constant, so this divides the chroma launch/window overhead.
+
+    Multi-host exception: for globally-sharded inputs the chroma planes
+    run individually — the eager re-slice of a stacked result would lose
+    the batch sharding (XLA replicates the slice, an implicit DCN
+    all-gather), whereas per-plane outputs keep their input's sharding
+    and every frame stays on the process that fed it."""
     if len(planes) != plan.n_planes:
         raise ValueError(
             f"expected {plan.n_planes} plane(s) for {plan.pix_fmt}, got "
@@ -321,11 +355,14 @@ def transform_frame_planes(plan: TransformPlan, planes):
     rest = planes[1:]
     if rest:
         chroma = plane_executor(plan.chroma)
-        stacked = chroma(jnp.concatenate(rest, axis=0))
-        off = 0
-        for p in rest:
-            outs.append(stacked[off : off + p.shape[0]])
-            off += p.shape[0]
+        if any(_spans_processes(p) for p in rest):
+            outs.extend(chroma(p) for p in rest)
+        else:
+            stacked = chroma(jnp.concatenate(rest, axis=0))
+            off = 0
+            for p in rest:
+                outs.append(stacked[off : off + p.shape[0]])
+                off += p.shape[0]
     return tuple(outs)
 
 
