@@ -227,6 +227,59 @@ def test_plan_save_load_with_blur_and_area(tmp_path, rng):
         np.testing.assert_array_equal(x, z)
 
 
+def test_plan_v2_carries_kernel_plans(tmp_path, rng):
+    """A v2 plan file embeds the derived lane-kernel plans; loading seeds
+    the pipeline caches so a restarted process does NO Python kernel-plan
+    rebuild, and the seeded plans are array-identical to a fresh build."""
+    from transform360_tpu import pipeline
+    from transform360_tpu.ops import blur_lane as bl_mod
+    from transform360_tpu.ops import remap_lane as rl_mod
+    from transform360_tpu.plan import build_plan as bp
+    from transform360_tpu.plan import load_plan, save_plan
+
+    cfg = TransformConfig(interpolation_alg=Interpolation.CUBIC, **MONO)
+    plan = bp(cfg, 256, 128, 96, 64)
+    fresh_lane = pipeline._lane_plan(plan.luma)
+    fresh_blur = pipeline._blur_lane_plan(plan.luma)
+    assert fresh_lane is not None and fresh_blur is not None
+    p = tmp_path / "plan.npz"
+    save_plan(plan, str(p))
+
+    pipeline.clear_executor_cache()
+    real_lane, real_blur = rl_mod.build_lane_remap, bl_mod.build_blur_lane
+
+    def boom(*a, **k):
+        raise AssertionError("kernel plan rebuilt despite v2 seed")
+
+    rl_mod.build_lane_remap = boom
+    bl_mod.build_blur_lane = boom
+    try:
+        loaded = load_plan(str(p))
+        got_lane = pipeline._lane_plan(loaded.luma)
+        got_blur = pipeline._blur_lane_plan(loaded.luma)
+    finally:
+        rl_mod.build_lane_remap = real_lane
+        bl_mod.build_blur_lane = real_blur
+        pipeline.clear_executor_cache()
+
+    assert len(got_lane.classes) == len(fresh_lane.classes)
+    for a, b in zip(got_lane.classes, fresh_lane.classes):
+        assert (a.win_h, a.win_w, a.n, a.double_buf, a.unpack_f32) == (
+            b.win_h, b.win_w, b.n, b.double_buf, b.unpack_f32
+        )
+        np.testing.assert_array_equal(a.meta, b.meta)
+        np.testing.assert_array_equal(a.idx, b.idx)
+        np.testing.assert_array_equal(a.wyb, b.wyb)
+    np.testing.assert_array_equal(got_lane.wt, fresh_lane.wt)
+    assert (got_lane.hp, got_lane.wp, got_lane.n_tiles) == (
+        fresh_lane.hp, fresh_lane.wp, fresh_lane.n_tiles
+    )
+    np.testing.assert_array_equal(got_blur.meta, fresh_blur.meta)
+    np.testing.assert_array_equal(got_blur.tapsy, fresh_blur.tapsy)
+    np.testing.assert_array_equal(got_blur.mx_bank, fresh_blur.mx_bank)
+    assert got_blur.wwp == fresh_blur.wwp
+
+
 def test_plan_file_is_pickle_free_npz(tmp_path):
     """The plan format must be loadable with allow_pickle=False and carry
     a version header that rejects unknown versions (no code execution on
