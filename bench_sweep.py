@@ -178,6 +178,10 @@ def main():
                  fixed_pitch=10.0, **mono),
             (1280, 720), 128,
         ),
+        # thumbnail workload: 128-px cube edge — the chroma plane
+        # (192x128 out) sits below the window-gather minimums, so this
+        # measures the tiny-plane path on chip (VERDICT r2 weak #4)
+        "x_small_edge128": (dict(**mono), (384, 256), 128),
     }
 
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
