@@ -461,16 +461,56 @@ def build_lane_remap(spec: SampleSpec, fill: float) -> Optional[LaneRemapPlan]:
     )
 
 
+def _pack_choice(T: int, win_h: int, win_w: int, k_max: int):
+    """Per-class (kc, nbuf, unpack_f32) choice under the VMEM budget.
+
+    The f32 whole-window pre-unpack is worth more than a higher pack
+    factor: measured per-pixel body costs (tools/probe_f32_window.py,
+    probe_lane_kernel.py) are ~5.0 cyc for an f32 slice vs ~8.3 for a u8
+    slice+unpack, ~4.1 for the tap FMAs, ~8.3 for the shared
+    contraction/round/store, and ~2.5 per lane-select merge — so
+    kc=2-with-unpack (~14.5 cyc/tile-px) still beats kc=8-without
+    (~15.6).  Preference order: highest kc that keeps the unpack
+    (double-buffered first, then single-buffered), then the no-unpack
+    ladder.  Returns None when even the plain u8 windows do not fit.
+    """
+    wbytes = win_h * win_w * LANES
+    want_unpack = T >= 4 and 5 * win_h * win_w <= 2 * TPo * T * XW
+    if want_unpack:
+        kc = k_max
+        while kc >= 2:
+            for nbuf in (2, 1):
+                if nbuf == 2 and kc * wbytes > _DOUBLE_BUF_BYTES:
+                    continue
+                if kc * (nbuf + 4) * wbytes <= _WINDOW_BYTES_MAX:
+                    return kc, nbuf, True
+            kc //= 2
+    kc = k_max
+    while kc >= 2:
+        for nbuf in (2, 1):
+            if nbuf == 2 and kc * wbytes > _DOUBLE_BUF_BYTES:
+                continue
+            if kc * nbuf * wbytes <= _WINDOW_BYTES_MAX:
+                return kc, nbuf, False
+        kc //= 2
+    return None
+
+
 def build_lane_pack(
     plan: Optional[LaneRemapPlan], k: int
 ) -> Optional[LanePackPlan]:
     """Derive the 1/K-occupancy pack plan from a built lane plan.
 
-    Groups K consecutive tiles within each window class (they are
+    Groups consecutive tiles within each window class (they are
     tile-major, so neighbors share DMA locality); a tail group repeats
-    its last tile in the leftover slots (harmless recompute).  Classes
-    whose K-fold window scratch would not fit the VMEM budget stay on
-    the plain kernel.  Returns None when nothing is packable.
+    its last tile in the leftover slots (harmless recompute).  The pack
+    factor is chosen PER CLASS (<= k): a class keeps the f32 window
+    pre-unpack in priority over a higher factor (see
+    :func:`_pack_choice`) — mixed factors assemble fine because lane
+    groups nest (all powers of two, and every group duplicates the same
+    <=128/k real frames).  Classes whose windows cannot fit at any
+    factor stay on the plain kernel.  Returns None when nothing is
+    packable.
     """
     if plan is None:
         return None
@@ -479,29 +519,22 @@ def build_lane_pack(
     packs: List[LanePackClass] = []
     normal: List[LaneClass] = []
     for cls in plan.classes:
-        wbytes = cls.win_h * cls.win_w * LANES
-        nbuf = 2 if k * wbytes <= _DOUBLE_BUF_BYTES else 1
-        if k * nbuf * wbytes > _WINDOW_BYTES_MAX:
+        choice = _pack_choice(T, cls.win_h, cls.win_w, k)
+        if choice is None:
             normal.append(cls)
             continue
+        kc, nbuf, unpack = choice
         n = cls.n
-        i0 = np.arange(0, n, k)
-        slots = [np.minimum(i0 + h, n - 1) for h in range(k)]
+        i0 = np.arange(0, n, kc)
+        slots = [np.minimum(i0 + h, n - 1) for h in range(kc)]
         packs.append(
             LanePackClass(
-                k=k,
+                k=kc,
                 win_h=cls.win_h,
                 win_w=cls.win_w,
                 n=i0.size,
                 double_buf=nbuf == 2,
-                # same reuse criterion as the plain kernel's gate (the
-                # unpack amortizes over one tile's slices either way);
-                # the VMEM budget scales with the K-fold scratch
-                unpack_f32=(
-                    T >= 4
-                    and 5 * cls.win_h * cls.win_w <= 2 * TPo * T * XW
-                    and k * (nbuf + 4) * wbytes <= _WINDOW_BYTES_MAX
-                ),
+                unpack_f32=unpack,
                 meta=np.stack(
                     [cls.meta[m, ih] for ih in slots for m in (1, 2)]
                 ).astype(np.int32),
@@ -519,15 +552,15 @@ def build_lane_pack(
     if not packs:
         return None
     # entry table: [class0 slot0..., class0 slot1..., ..., base grid]
-    n_pack_entries = sum(k * pc.n for pc in packs)
+    n_pack_entries = sum(pc.k * pc.n for pc in packs)
     perm = np.arange(plan.n_tiles, dtype=np.int64) + n_pack_entries
     off = 0
     for pc in packs:
-        for h in range(k):
+        for h in range(pc.k):
             # tail-group repeats: every slot holding a tile is correct;
             # later assignments simply win
             perm[pc.ids[h]] = off + h * pc.n + np.arange(pc.n)
-        off += k * pc.n
+        off += pc.k * pc.n
     return LanePackPlan(
         base=plan,
         k=k,
@@ -946,8 +979,13 @@ def _remap_core_pack(pp: LanePackPlan, padded, interpret) -> jnp.ndarray:
     entries = []
     for pc in pp.packs:
         o = _run_pack_class(plan, pc, padded, interpret)
-        for h in range(pp.k):
-            entries.append(o[..., h * G : (h + 1) * G])
+        # a class may pack at a lower factor than requested (G_c >= G);
+        # its group starts are multiples of G, and every G-lane run of
+        # the duplicated input holds the same frames, so truncating each
+        # group to G lanes yields valid entries
+        Gc = LANES // pc.k
+        for h in range(pc.k):
+            entries.append(o[..., h * Gc : h * Gc + G])
     need_base = bool(pp.normal) or plan.fb_ids is not None
     if need_base:
         base = None
