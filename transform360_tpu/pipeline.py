@@ -59,28 +59,33 @@ from .sampling import (
 )
 
 # Batch size at or above which the lane-batched kernel (batch in vector
-# lanes) is preferred.  A padded lane pass costs ~105-110 ms for the
-# flagship plan regardless of how many of the 128 lanes hold real frames
-# (the minor dim is hardware-padded either way), while the window-gather
-# path costs ~104 ms per 8-frame chunk — measured at batch 8: 73.0 fps
-# (lane, bf16x3 blur) vs 77.3 (window-gather), so the crossover stays at
-# 9; from 9 up one padded lane pass beats two chunks (145.8 vs ~77 fps
-# at batch 16).  tools/psnr_check.py forces BOTH paths so each keeps
+# lanes) is preferred.  A padded lane pass costs the same regardless of
+# how many of the 128 lanes hold real frames (the minor dim is
+# hardware-padded either way): 106 ms plain, 99.8 ms pair-packed
+# (flagship, tools/probe_pack_cost.py), while the window-gather path
+# costs per 8-frame chunk 103.3 ms at batch 8 / 67.3 at 4 / 51.0 at 2 /
+# 54.6 at 1 (tools/probe_small_batch.py).  Crossover: the packed lane
+# pass wins from batch 8 up (99.8 vs 103.3); below 8 the window chunks
+# are cheaper.  tools/psnr_check.py forces BOTH paths so each keeps
 # real-chip fidelity evidence.
-LANE_MIN_BATCH = int(os.environ.get("TRANSFORM360_LANE_MIN_BATCH", "9"))
+LANE_MIN_BATCH = int(os.environ.get("TRANSFORM360_LANE_MIN_BATCH", "8"))
 
 # Low-occupancy tile packing: at batch <= 128/K the real frames are
 # duplicated into every lane group of width 128/K and the lane remap
 # runs K tiles per grid step (one per group), sharing the
 # x-contraction/round/store between them (ops/remap_lane.py,
-# LanePackClass).  LANE_PACK_MAX caps K (1 disables packing; the
-# routing picks the largest K in {2, 4, 8} whose group still holds the
-# batch).  Env: TRANSFORM360_LANE_PACK_MAX, or the legacy
-# TRANSFORM360_LANE_PACK2=0 to disable.
+# LanePackClass).  LANE_PACK_MAX caps K (1 disables packing).  The
+# default is 2 from measurement, not a scaling law: the pass is
+# body-bound per tile (slice+FMA dominate; only the shared contraction
+# amortizes), so the flagship pass costs 106 ms plain, 99.8 packed x2,
+# 101.8 x4 (bigger windows lose the f32 pre-unpack), 146.9 x8 (loses
+# double-buffered window DMA too) — tools/probe_pack_cost.py,
+# docs/perf.md "Small batch".  Env: TRANSFORM360_LANE_PACK_MAX, or the
+# legacy TRANSFORM360_LANE_PACK2=0 to disable.
 LANE_PACK_MAX = int(
     os.environ.get(
         "TRANSFORM360_LANE_PACK_MAX",
-        "1" if os.environ.get("TRANSFORM360_LANE_PACK2") == "0" else "8",
+        "1" if os.environ.get("TRANSFORM360_LANE_PACK2") == "0" else "2",
     )
 )
 
