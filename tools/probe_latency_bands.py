@@ -1,0 +1,82 @@
+"""Per-band device time for single-frame latency sharding (one real chip).
+
+parallel.latency splits one frame's output rows into N band plans, one
+per device.  With only one physical chip available, the pod-slice latency
+is projected from per-band measurements: each band program is timed
+separately (chain-difference), and the frame latency on an N-device
+slice is max(band) + the input broadcast + tiny band readbacks.  The
+duplicated full-input blur is NOT a caveat at batch 1 — it measures
+0.25 ms of the 54.5 ms frame (tools/probe_b1_split.py).
+
+    python tools/probe_latency_bands.py        # flagship, 8 bands
+    python tools/probe_latency_bands.py 4      # other band count
+
+Prints one JSON line per band plus a summary line.
+"""
+
+import json
+import sys
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+IN_W, IN_H = 3840, 2160
+
+
+def main():
+    from transform360_tpu import TransformConfig, build_plan, chroma_dims
+    from transform360_tpu.config import StereoFormat
+    from transform360_tpu.parallel.latency import band_plans
+    from transform360_tpu.utils.backend import ensure_device
+    from transform360_tpu.utils.profiling import time_frame_step
+
+    ensure_device()
+    import jax
+
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    cfg = TransformConfig(
+        input_stereo_format=StereoFormat.MONO,
+        output_stereo_format=StereoFormat.MONO,
+    )
+    plan = build_plan(cfg, IN_W, IN_H, 1536, 1024)
+    bands = band_plans(plan, n)
+
+    rng = np.random.default_rng(0)
+    cw, ch = chroma_dims(IN_W, IN_H)
+    y = jax.device_put(rng.integers(0, 256, (1, IN_H, IN_W), dtype=np.uint8))
+    u = jax.device_put(rng.integers(0, 256, (1, ch, cw), dtype=np.uint8))
+    v = jax.device_put(rng.integers(0, 256, (1, ch, cw), dtype=np.uint8))
+
+    times = []
+    for i, band in enumerate(bands):
+        sec = time_frame_step(band, y, u, v, n_short=2, n_long=10)
+        times.append(sec)
+        print(
+            json.dumps(
+                {
+                    "band": i,
+                    "rows": band.luma.out_h,
+                    "ms": round(sec * 1e3, 2),
+                }
+            ),
+            flush=True,
+        )
+    mx = max(times)
+    print(
+        json.dumps(
+            {
+                "n_bands": n,
+                "max_band_ms": round(mx * 1e3, 2),
+                "sum_bands_ms": round(sum(times) * 1e3, 2),
+                "projected_fps_on_slice": round(1 / mx, 1),
+                "note": "frame latency on an n-device slice ~= max band "
+                "+ input broadcast; single-chip projection",
+            }
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()

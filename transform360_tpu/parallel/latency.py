@@ -1,0 +1,174 @@
+"""Single-frame latency sharding: output row-bands across devices.
+
+The batch mesh (:mod:`.mesh`) scales THROUGHPUT; it does nothing for the
+latency of one frame — the reference's own answer to that is a pthread
+per prefilter segment within the frame (``VideoFrameTransform.cpp:592-604``).
+The TPU-native analog: split the OUTPUT rows of one frame into bands, one
+per device.  Every plan array (warp bases, fractions, masks, INTER_AREA
+rows) is indexed by output pixel, so a row slice of the spec IS a valid
+smaller plan; each device transforms its band independently against a
+replicated input — no collectives, the transfer is one small input
+broadcast plus tiny band outputs back.
+
+Trade-off (v1): the adaptive prefilter is input-space, so every device
+blurs the full input plane — duplicated work that bounds the speedup at
+``(blur + remap/N) / (blur + remap)``.  Worth it exactly when latency,
+not chip-seconds, is the constraint (live streaming at batch 1).
+
+Single-process only: bands go to this process's addressable devices.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+
+from .. import pipeline
+from ..ops.staging import stage_program
+from ..plan import PlanePlan, TransformPlan, _LazyWindowPlan
+
+
+def _slice_plane(pp: PlanePlan, y0: int, y1: int) -> PlanePlan:
+    """Row band [y0, y1) of a plane plan's OUTPUT (final, post-resize)."""
+    spec = pp.spec
+    if pp.area_row is not None:
+        # supersampled plan: the band's scaled rows are the (contiguous)
+        # support of its INTER_AREA rows
+        sub = pp.area_row[y0:y1]
+        used = np.flatnonzero(sub.any(axis=0))
+        s0, s1 = int(used[0]), int(used[-1]) + 1
+        area_row = np.ascontiguousarray(sub[:, s0:s1])
+    else:
+        s0, s1 = y0, y1
+        area_row = None
+    spec = dataclasses.replace(
+        spec,
+        base_y=spec.base_y[s0:s1],
+        base_x=spec.base_x[s0:s1],
+        frac_y=spec.frac_y[s0:s1],
+        frac_x=spec.frac_x[s0:s1],
+        valid=None if spec.valid is None else spec.valid[s0:s1],
+    )
+    return dataclasses.replace(
+        pp,
+        key=f"{pp.key}|band{y0}-{y1}",
+        spec=spec,
+        pallas=_LazyWindowPlan(spec, float(pp.fill)),
+        out_h=y1 - y0,
+        scaled_h=s1 - s0,
+        area_row=area_row,
+    )
+
+
+_BAND_CACHE: Dict[Tuple, Tuple[TransformPlan, ...]] = {}
+
+
+def band_plans(plan: TransformPlan, n: int) -> Tuple[TransformPlan, ...]:
+    """Split a frame plan into ``n`` output row-band plans.
+
+    Luma band edges align to the chroma subsampling ratio so each band
+    carries exact chroma rows.  ``n`` is clamped to the number of
+    alignable rows.  Memoized per (plan, n).
+    """
+    key = (plan.luma.key, None if plan.chroma is None else plan.chroma.key, n)
+    hit = _BAND_CACHE.get(key)
+    if hit is not None:
+        return hit
+    r = 1
+    if plan.chroma is not None:
+        r = max(1, plan.luma.out_h // plan.chroma.out_h)
+    units = plan.luma.out_h // r
+    n = max(1, min(n, units))
+    edges = [int(e) * r for e in np.linspace(0, units, n + 1)]
+    edges[-1] = plan.luma.out_h
+    bands = []
+    for y0, y1 in zip(edges[:-1], edges[1:]):
+        chroma = None
+        if plan.chroma is not None:
+            chroma = _slice_plane(plan.chroma, y0 // r, y1 // r)
+        bands.append(
+            dataclasses.replace(
+                plan,
+                out_h=y1 - y0,
+                luma=_slice_plane(plan.luma, y0, y1),
+                chroma=chroma,
+            )
+        )
+    out = tuple(bands)
+    _BAND_CACHE[key] = out
+    return out
+
+
+_EXEC_CACHE: Dict[Tuple, Tuple] = {}
+
+
+def _band_executor(pp: PlanePlan, device, x):
+    """Per-(plane-band, device) staged executor; plan constants resident
+    on that device (the shared pipeline executor pins them to the default
+    device, which would force cross-device transfers here)."""
+    use_pallas = pipeline._use_pallas(pp)
+    key = (
+        pp.key,
+        use_pallas,
+        pipeline.LANE_MIN_BATCH,
+        pipeline.LANE_PACK_MAX,
+        getattr(device, "id", device),
+        tuple(x.shape),
+    )
+    ent = _EXEC_CACHE.get(key)
+    if ent is None:
+        program = pipeline._plane_program(pp, use_pallas)
+        fn, consts = stage_program(
+            program, jax.ShapeDtypeStruct(x.shape, x.dtype)
+        )
+        ent = (jax.jit(fn), jax.device_put(consts, device))
+        _EXEC_CACHE[key] = ent
+    return ent
+
+
+def clear_band_caches() -> None:
+    _BAND_CACHE.clear()
+    _EXEC_CACHE.clear()
+
+
+def transform_frame_banded(
+    plan: TransformPlan,
+    planes: Sequence,
+    devices: Optional[Sequence] = None,
+    n: Optional[int] = None,
+) -> Tuple[np.ndarray, ...]:
+    """Transform ONE frame with its output rows sharded over devices.
+
+    ``planes``: uint8 [H, W] arrays (n_planes of them, like
+    :func:`pipeline.transform_frame_planes`).  Returns uint8 [oh, ow]
+    numpy planes, byte-identical to the unsharded transform.  All bands
+    dispatch asynchronously before any blocks, so wall latency is
+    max(band) + transfers, not the sum.
+    """
+    if devices is None:
+        devices = jax.devices()
+    if n is None:
+        n = len(devices)
+    if len(planes) != plan.n_planes:
+        raise ValueError(
+            f"expected {plan.n_planes} plane(s) for {plan.pix_fmt}, got "
+            f"{len(planes)}"
+        )
+    bands = band_plans(plan, n)
+    xs = [np.asarray(p)[None] for p in planes]
+
+    parts: List[List] = [[] for _ in planes]
+    for i, band in enumerate(bands):
+        dev = devices[i % len(devices)]
+        pps = [band.luma] + [band.chroma] * (len(planes) - 1)
+        for j, (pp, x) in enumerate(zip(pps, xs)):
+            xd = jax.device_put(x, dev)
+            jfn, consts = _band_executor(pp, dev, xd)
+            parts[j].append(jfn(xd, consts))
+    return tuple(
+        np.concatenate([np.asarray(o)[0] for o in outs], axis=0)
+        for outs in parts
+    )
