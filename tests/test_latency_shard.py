@@ -88,6 +88,56 @@ def test_band_plans_structure():
     assert len(band_plans(plan, 64)) == plan.chroma.out_h
 
 
+def test_band_plans_cost_balanced(rng):
+    """row_costs places edges at equal-cost quantiles (and stays
+    byte-identical)."""
+    cfg = TransformConfig(**MONO)
+    plan = build_plan(cfg, 128, 64, 48, 32)
+    # expensive top rows: the first band should be the shortest
+    costs = np.concatenate([np.full(16, 10.0), np.full(16, 1.0)])
+    bands = band_plans(plan, 4, row_costs=costs)
+    heights = [b.luma.out_h for b in bands]
+    assert sum(heights) == 32 and heights[0] < heights[-1]
+    for b in bands:  # chroma alignment survives cost edges
+        assert b.luma.out_h == 2 * b.chroma.out_h
+    planes = make_frame(rng, 64, 128)
+    want = transform_batch(plan, *planes)
+    got = transform_frame_banded(plan, planes, n=4, row_costs=costs)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g, np.asarray(w))
+    # every band keeps at least one unit even under degenerate costs
+    degen = np.zeros(32)
+    degen[0] = 1.0
+    bands = band_plans(plan, 8, row_costs=degen)
+    heights = [b.luma.out_h for b in bands]
+    assert sum(heights) == 32 and min(heights) >= 2  # r = 2
+
+
+def test_cli_latency_bands(tmp_path, rng):
+    """--latency-bands output must equal the batched single-device run."""
+    from transform360_tpu.cli import main as cli_main
+    from transform360_tpu.utils.yuv import write_yuv420_batch
+
+    y = rng.integers(0, 256, (6, 128, 64), dtype=np.uint8)
+    u = rng.integers(0, 256, (6, 64, 32), dtype=np.uint8)
+    v = rng.integers(0, 256, (6, 64, 32), dtype=np.uint8)
+    path = tmp_path / "in.yuv"
+    write_yuv420_batch(str(path), y, u, v)
+    vf = ("w=64:h=32:input_stereo_format=mono:output_layout=equirect:"
+          "interpolation_alg=linear:enable_low_pass_filter=0")
+    args = ["--vf", vf, "--input-size", "64x128", "-i", str(path)]
+    assert cli_main(args + ["-o", str(tmp_path / "a.yuv"),
+                            "--latency-bands", "8"]) == 0
+    assert cli_main(args + ["-o", str(tmp_path / "b.yuv"), "--batch", "3"]) == 0
+    assert (tmp_path / "a.yuv").read_bytes() == (tmp_path / "b.yuv").read_bytes()
+    # excluded combinations -> usage error
+    assert cli_main(args + ["-o", str(tmp_path / "c.yuv"),
+                            "--latency-bands", "8", "--devices", "8"]) == 2
+    assert cli_main(args + ["-o", str(tmp_path / "d.yuv"),
+                            "--latency-bands", "8", "--backend",
+                            "native"]) == 2
+
+
 def test_banded_round_robins_devices(rng):
     """More bands than devices still covers the frame (round-robin)."""
     cfg = TransformConfig(

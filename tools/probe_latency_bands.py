@@ -8,10 +8,12 @@ slice is max(band) + the input broadcast + tiny band readbacks.  The
 duplicated full-input blur is NOT a caveat at batch 1 — it measures
 0.25 ms of the 54.5 ms frame (tools/probe_b1_split.py).
 
-    python tools/probe_latency_bands.py        # flagship, 8 bands
-    python tools/probe_latency_bands.py 4      # other band count
+    python tools/probe_latency_bands.py            # flagship, 8 bands
+    python tools/probe_latency_bands.py 4          # other band count
+    python tools/probe_latency_bands.py 8 --balance  # re-band at the
+        # equal-cost quantiles of the measured profile and re-time
 
-Prints one JSON line per band plus a summary line.
+Prints one JSON line per band plus a summary line per pass.
 """
 
 import json
@@ -24,17 +26,53 @@ sys.path.insert(0, ".")
 IN_W, IN_H = 3840, 2160
 
 
+def time_bands(bands, y, u, v, label):
+    from transform360_tpu.utils.profiling import time_frame_step
+
+    times = []
+    for i, band in enumerate(bands):
+        sec = time_frame_step(band, y, u, v, n_short=2, n_long=10)
+        times.append(sec)
+        print(
+            json.dumps(
+                {
+                    "pass": label,
+                    "band": i,
+                    "rows": band.luma.out_h,
+                    "ms": round(sec * 1e3, 2),
+                }
+            ),
+            flush=True,
+        )
+    mx = max(times)
+    print(
+        json.dumps(
+            {
+                "pass": label,
+                "n_bands": len(bands),
+                "max_band_ms": round(mx * 1e3, 2),
+                "sum_bands_ms": round(sum(times) * 1e3, 2),
+                "projected_fps_on_slice": round(1 / mx, 1),
+                "note": "frame latency on an n-device slice ~= max band "
+                "+ input broadcast; single-chip projection",
+            }
+        ),
+        flush=True,
+    )
+    return times
+
+
 def main():
     from transform360_tpu import TransformConfig, build_plan, chroma_dims
     from transform360_tpu.config import StereoFormat
     from transform360_tpu.parallel.latency import band_plans
     from transform360_tpu.utils.backend import ensure_device
-    from transform360_tpu.utils.profiling import time_frame_step
 
     ensure_device()
     import jax
 
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n = int(args[0]) if args else 8
     cfg = TransformConfig(
         input_stereo_format=StereoFormat.MONO,
         output_stereo_format=StereoFormat.MONO,
@@ -48,34 +86,17 @@ def main():
     u = jax.device_put(rng.integers(0, 256, (1, ch, cw), dtype=np.uint8))
     v = jax.device_put(rng.integers(0, 256, (1, ch, cw), dtype=np.uint8))
 
-    times = []
-    for i, band in enumerate(bands):
-        sec = time_frame_step(band, y, u, v, n_short=2, n_long=10)
-        times.append(sec)
-        print(
-            json.dumps(
-                {
-                    "band": i,
-                    "rows": band.luma.out_h,
-                    "ms": round(sec * 1e3, 2),
-                }
-            ),
-            flush=True,
+    times = time_bands(bands, y, u, v, "uniform")
+
+    if "--balance" in sys.argv:
+        # spread each measured band time uniformly over its rows -> a
+        # piecewise-constant per-row cost profile -> equal-cost edges
+        row_costs = np.concatenate(
+            [np.full(b.luma.out_h, t / b.luma.out_h)
+             for b, t in zip(bands, times)]
         )
-    mx = max(times)
-    print(
-        json.dumps(
-            {
-                "n_bands": n,
-                "max_band_ms": round(mx * 1e3, 2),
-                "sum_bands_ms": round(sum(times) * 1e3, 2),
-                "projected_fps_on_slice": round(1 / mx, 1),
-                "note": "frame latency on an n-device slice ~= max band "
-                "+ input broadcast; single-chip projection",
-            }
-        ),
-        flush=True,
-    )
+        balanced = band_plans(plan, n, row_costs=row_costs)
+        time_bands(balanced, y, u, v, "balanced")
 
 
 if __name__ == "__main__":

@@ -91,6 +91,14 @@ def build_parser() -> argparse.ArgumentParser:
              "--batch must be a multiple",
     )
     p.add_argument(
+        "--latency-bands", type=int, default=0, metavar="N",
+        help="single-frame LATENCY mode: band each frame's output rows "
+             "over N devices (0 = off; -1 = all available) instead of "
+             "batching frames — for live streams where per-frame latency "
+             "matters more than throughput; implies --batch 1 and "
+             "excludes --devices/--distributed",
+    )
+    p.add_argument(
         "--prefetch", type=int, default=1,
         help="batches in flight on the device while the host decodes/"
              "encodes neighboring batches (0 = fully synchronous)",
@@ -123,6 +131,13 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+
+    if args.latency_bands and (
+        args.devices != 1 or args.distributed or args.backend == "native"
+    ):
+        print("error: --latency-bands excludes --devices/--distributed "
+              "and requires the JAX backend", file=sys.stderr)
+        return 2
 
     if args.backend == "native":
         if args.devices != 1:
@@ -262,6 +277,30 @@ def main(argv=None) -> int:
 
     threading.Thread(target=read_loop, daemon=True).start()
 
+    def frames_out_banded():
+        """Latency mode: one frame at a time, its output rows banded
+        over the devices (parallel.latency) — no batching, no prefetch
+        pipeline; each frame's wall time IS its latency."""
+        import jax
+
+        from .parallel.latency import transform_frame_banded
+
+        devs = jax.devices()
+        n = len(devs) if args.latency_bands < 0 else args.latency_bands
+        plan = t.plan
+        while True:
+            item = inq.get()
+            if item is None:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            tb = time.perf_counter()
+            outs = transform_frame_banded(
+                plan, item, devices=devs, n=min(n, len(devs))
+            )
+            stats.record(1, time.perf_counter() - tb)
+            yield outs
+
     def frames_out():
         batches = [[] for _ in range(pf.n_planes)]
         # (n_real_frames, device arrays) of submitted-but-unretired
@@ -316,13 +355,14 @@ def main(argv=None) -> int:
         while pending:
             yield from retire()
 
+    out_iter = frames_out_banded if args.latency_bands else frames_out
     try:
         if is_raw_path(args.output):
-            write_yuv420_frames(args.output, frames_out())
+            write_yuv420_frames(args.output, out_iter())
         else:
             out_w, out_h = t.output_dims()
             with VideoWriter(args.output, out_w, out_h, fps) as w:
-                for oy, ou, ov in frames_out():
+                for oy, ou, ov in out_iter():
                     w.write(oy, ou, ov)
     finally:
         stop.set()  # release a reader blocked on the full queue

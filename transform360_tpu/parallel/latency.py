@@ -66,14 +66,40 @@ def _slice_plane(pp: PlanePlan, y0: int, y1: int) -> PlanePlan:
 _BAND_CACHE: Dict[Tuple, Tuple[TransformPlan, ...]] = {}
 
 
-def band_plans(plan: TransformPlan, n: int) -> Tuple[TransformPlan, ...]:
+def _cost_edges(units: int, r: int, n: int, row_costs) -> List[int]:
+    """Band edges (in luma rows, multiples of ``r``) at equal-cost
+    quantiles of ``row_costs``; every band keeps at least one unit."""
+    unit_cost = np.asarray(row_costs, np.float64)[: units * r]
+    unit_cost = unit_cost.reshape(units, r).sum(axis=1)
+    cum = np.concatenate([[0.0], np.cumsum(unit_cost)])
+    targets = cum[-1] * np.arange(1, n) / n
+    cuts = np.searchsorted(cum, targets)
+    edges = [0]
+    for c in cuts:
+        edges.append(int(min(max(c, edges[-1] + 1), units - (n - len(edges)))))
+    edges.append(units)
+    return [e * r for e in edges]
+
+
+def band_plans(
+    plan: TransformPlan, n: int, row_costs=None
+) -> Tuple[TransformPlan, ...]:
     """Split a frame plan into ``n`` output row-band plans.
 
     Luma band edges align to the chroma subsampling ratio so each band
     carries exact chroma rows.  ``n`` is clamped to the number of
-    alignable rows.  Memoized per (plan, n).
+    alignable rows.  ``row_costs`` (optional, [out_h] relative per-row
+    costs — e.g. a measured per-band profile spread over its rows)
+    places the edges at equal-cost quantiles instead of equal heights:
+    frame latency is max(band), so balancing the costs lowers it toward
+    sum/n.  Memoized per (plan, n, row_costs).
     """
-    key = (plan.luma.key, None if plan.chroma is None else plan.chroma.key, n)
+    key = (
+        plan.luma.key,
+        None if plan.chroma is None else plan.chroma.key,
+        n,
+        None if row_costs is None else tuple(np.asarray(row_costs).tolist()),
+    )
     hit = _BAND_CACHE.get(key)
     if hit is not None:
         return hit
@@ -82,7 +108,10 @@ def band_plans(plan: TransformPlan, n: int) -> Tuple[TransformPlan, ...]:
         r = max(1, plan.luma.out_h // plan.chroma.out_h)
     units = plan.luma.out_h // r
     n = max(1, min(n, units))
-    edges = [int(e) * r for e in np.linspace(0, units, n + 1)]
+    if row_costs is not None:
+        edges = _cost_edges(units, r, n, row_costs)
+    else:
+        edges = [int(e) * r for e in np.linspace(0, units, n + 1)]
     edges[-1] = plan.luma.out_h
     bands = []
     for y0, y1 in zip(edges[:-1], edges[1:]):
@@ -139,6 +168,7 @@ def transform_frame_banded(
     planes: Sequence,
     devices: Optional[Sequence] = None,
     n: Optional[int] = None,
+    row_costs=None,
 ) -> Tuple[np.ndarray, ...]:
     """Transform ONE frame with its output rows sharded over devices.
 
@@ -157,7 +187,7 @@ def transform_frame_banded(
             f"expected {plan.n_planes} plane(s) for {plan.pix_fmt}, got "
             f"{len(planes)}"
         )
-    bands = band_plans(plan, n)
+    bands = band_plans(plan, n, row_costs=row_costs)
     xs = [np.asarray(p)[None] for p in planes]
 
     parts: List[List] = [[] for _ in planes]
