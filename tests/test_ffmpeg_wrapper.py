@@ -1,0 +1,210 @@
+"""Drop-in ffmpeg front end (transform360_tpu.ffmpeg).
+
+The reference is driven as ``ffmpeg -i in -vf transform360="..." out``
+(reference README.md:84-95); the wrapper accepts that argv unchanged.
+No ffmpeg binary ships in CI, so the end-to-end test fakes the decode/
+encode subprocesses with in-memory pipes — the argv parsing, command
+assembly, and the batched transform pipeline are all real.
+"""
+
+import io
+import subprocess
+
+import numpy as np
+import pytest
+
+from transform360_tpu import ffmpeg as wrap
+
+VF = (
+    "cube_edge_length=32:input_stereo_format=mono:"
+    "interpolation_alg=linear:enable_low_pass_filter=0"
+)
+
+
+# ---------------------------------------------------------------- parsing
+
+def test_tokenize_basic():
+    inputs, out_opts, out_path, g = wrap.tokenize(
+        ["-y", "-ss", "10", "-i", "in.mp4", "-c:v", "libx264", "-an",
+         "out.mp4"]
+    )
+    assert g == ["-y"]
+    assert inputs == [([("-ss", "10")], "in.mp4")]
+    assert out_opts == [("-c:v", "libx264"), ("-an", None)]
+    assert out_path == "out.mp4"
+
+
+def test_tokenize_rejects_multiple_outputs_and_missing_output():
+    with pytest.raises(wrap.UsageError):
+        wrap.tokenize(["-i", "a.mp4", "o1.mp4", "o2.mp4"])
+    with pytest.raises(wrap.UsageError):
+        wrap.tokenize(["-i", "a.mp4", "-c:v", "libx264"])
+    with pytest.raises(wrap.UsageError):
+        wrap.tokenize(["-i"])
+
+
+def test_split_filterchain_quoting():
+    assert wrap.split_filterchain("scale=640:320,transform360=w=64") == [
+        "scale=640:320", "transform360=w=64",
+    ]
+    # commas inside ffmpeg '...' quoting or backslash-escaped do not split
+    assert wrap.split_filterchain("crop='iw,2',t360") == ["crop='iw,2'", "t360"]
+    assert wrap.split_filterchain(r"a=1\,2,b") == [r"a=1\,2", "b"]
+
+
+def test_find_transform360_variants():
+    found = wrap.find_transform360(
+        [("-c:v", "libx264"),
+         ("-vf", "scale=320:160,transform360=cube_edge_length=64,hflip")]
+    )
+    idx, pre, opts, post = found
+    assert idx == 1
+    assert pre == ["scale=320:160"]
+    assert opts == "cube_edge_length=64"
+    assert post == ["hflip"]
+
+    # -filter:v alias; quoted option payload is unwrapped
+    idx, pre, opts, post = wrap.find_transform360(
+        [("-filter:v", "transform360='w=64:h=32'")]
+    )
+    assert (pre, opts, post) == ([], "w=64:h=32", [])
+
+    assert wrap.find_transform360([("-vf", "scale=1:1"), ("-b:v", "1M")]) is None
+
+
+def test_build_commands_structure():
+    argv = ["-y", "-i", "in.mp4", "-vf",
+            f"scale=256:128,transform360={VF},hflip",
+            "-c:v", "libx264", "-crf", "18", "out.mp4"]
+    inputs, out_opts, out_path, g = wrap.tokenize(argv)
+    found = wrap.find_transform360(out_opts)
+    dec, enc = wrap.build_commands(
+        inputs, out_opts, out_path, g, found, (256, 128, 25.0), (96, 64)
+    )
+    # decode: pre-chain applied, rawvideo to stdout
+    assert dec[:3] == ["ffmpeg", "-v", "error"]
+    assert dec[-5:] == ["-f", "rawvideo", "-pix_fmt", "yuv420p", "-"]
+    assert "-vf" in dec and dec[dec.index("-vf") + 1] == "scale=256:128"
+    assert "transform360" not in " ".join(dec)
+    # encode: -y carried, sized rawvideo stdin, audio mapped from the
+    # source with stream-copy, post-chain + user opts + output preserved
+    assert "-y" in enc
+    assert enc[enc.index("-s") + 1] == "96x64"
+    assert enc[enc.index("-map") + 1] == "0:v"
+    assert "-c:a" in enc and enc[enc.index("-c:a") + 1] == "copy"
+    assert "-crf" in enc and enc[enc.index("-crf") + 1] == "18"
+    assert enc[enc.index("-vf") + 1] == "hflip"
+    assert enc[-1] == "out.mp4"
+    assert "transform360" not in " ".join(enc)
+
+
+def test_build_commands_respects_user_stream_routing():
+    for extra in (["-an"], ["-map", "0:v"]):
+        argv = ["-i", "in.mp4", "-vf", f"transform360={VF}", *extra, "o.mp4"]
+        inputs, out_opts, out_path, g = wrap.tokenize(argv)
+        found = wrap.find_transform360(out_opts)
+        _, enc = wrap.build_commands(
+            inputs, out_opts, out_path, g, found, (128, 64, 30.0), (96, 64)
+        )
+        # no auto audio mapping when the user routes streams
+        assert enc.count("-i") == 1
+        assert "-c:a" not in enc
+
+
+def test_probe_decoded_parses_ffmpeg_output(monkeypatch):
+    stderr = (
+        "Input #0, mov, from 'in.mp4':\n"
+        "    Stream #0:0: Video: h264, yuv420p, 3840x2160, 30 fps\n"
+        "Output #0, null, to 'pipe:':\n"
+        "    Stream #0:0: Video: wrapped_avframe, yuv420p, 1920x960 "
+        "[SAR 1:1], q=2-31, 29.97 fps, 29.97 tbn\n"
+    )
+    monkeypatch.setattr(
+        wrap.subprocess, "run",
+        lambda *a, **k: subprocess.CompletedProcess(a, 0, "", stderr),
+    )
+    w, h, fps = wrap.probe_decoded([], "in.mp4", ["scale=1920:960"])
+    assert (w, h) == (1920, 960)
+    assert fps == pytest.approx(29.97)
+
+
+def test_extract_t360_opts(monkeypatch):
+    monkeypatch.setenv("T360_BATCH", "4")
+    b, p, s, rest = wrap._extract_t360_opts(
+        ["--t360-prefetch", "2", "-i", "x", "--t360-stats", "y.mp4"]
+    )
+    assert (b, p, s) == (4, 2, True)
+    assert rest == ["-i", "x", "y.mp4"]
+
+
+def test_passthrough_without_transform360(monkeypatch):
+    calls = []
+    monkeypatch.setattr(
+        wrap.subprocess, "call", lambda cmd: calls.append(cmd) or 0
+    )
+    argv = ["-i", "a.mp4", "-vf", "scale=64:32", "out.mp4"]
+    assert wrap.main(argv) == 0
+    assert calls == [["ffmpeg", *argv]]
+
+
+# ------------------------------------------------------------ end to end
+
+class _FakeProc:
+    def __init__(self, stdout=None, stdin=None):
+        self.stdout, self.stdin = stdout, stdin
+
+    def wait(self):
+        return 0
+
+
+class _Sink(io.BytesIO):
+    def close(self):  # keep the payload readable after the wrapper closes
+        pass
+
+
+def test_wrapper_end_to_end_fake_pipes(tmp_path, rng, monkeypatch, capsys):
+    """Full wrapper run against in-memory decode/encode pipes: the encoded
+    byte stream must equal the direct-API transform of the same frames."""
+    from transform360_tpu import open_filter
+    from transform360_tpu.config import chroma_dims
+    from transform360_tpu.utils import video
+
+    w, h, n = 128, 64, 5
+    cw, ch = chroma_dims(w, h)
+    y = rng.integers(0, 256, (n, h, w), dtype=np.uint8)
+    u = rng.integers(0, 256, (n, ch, cw), dtype=np.uint8)
+    v = rng.integers(0, 256, (n, ch, cw), dtype=np.uint8)
+    raw = b"".join(
+        p.tobytes() for k in range(n) for p in (y[k], u[k], v[k])
+    )
+
+    sink = _Sink()
+    spawned = []
+
+    def fake_popen(cmd, stdout=None, stdin=None):
+        spawned.append(cmd)
+        if stdout is not None:  # the decode side
+            return _FakeProc(stdout=io.BytesIO(raw))
+        return _FakeProc(stdin=sink)
+
+    monkeypatch.setattr(wrap.subprocess, "Popen", fake_popen)
+    monkeypatch.setattr(video, "have_ffmpeg", lambda: True)
+    monkeypatch.setattr(
+        video, "_probe_ffmpeg", lambda path: (w, h, 30.0)
+    )
+
+    rc = wrap.main(
+        ["--t360-batch", "2", "--t360-stats", "-y", "-i", "in.mp4",
+         "-vf", f"transform360={VF}", "out.mp4"]
+    )
+    assert rc == 0
+    assert len(spawned) == 2
+
+    ey, eu, ev = open_filter(VF, w, h).transform(y, u, v)
+    want = b"".join(
+        np.asarray(p).tobytes()
+        for k in range(n)
+        for p in (ey[k], eu[k], ev[k])
+    )
+    assert sink.getvalue() == want
+    assert '"frames": 5' in capsys.readouterr().err

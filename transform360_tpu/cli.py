@@ -51,6 +51,106 @@ def _parse_size(s: str):
         raise argparse.ArgumentTypeError(f"bad size {s!r}, expected WxH") from e
 
 
+def start_reader(frames_in, batch: int):
+    """Decode on a separate thread so container demux/decode overlaps the
+    device step and the encode of earlier batches — the reference runs
+    inside an FFmpeg graph whose decode/filter/encode stages likewise
+    proceed concurrently.  The consumer must set ``stop`` on ANY exit
+    (normal or error) so the reader never stays blocked on the bounded
+    queue — an abandoned daemon thread would pin the open input file /
+    decode subprocess for the life of an in-process caller.
+
+    Returns ``(queue, stop_event)``; the queue carries per-frame plane
+    tuples, then ``None`` at end of stream (exceptions are forwarded as
+    queue items and re-raised by the consumer).
+    """
+    inq: queue.Queue = queue.Queue(maxsize=max(2 * batch, 8))
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        while not stop.is_set():
+            try:
+                inq.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
+
+    def read_loop():
+        try:
+            for planes in frames_in:
+                if not _put(planes):
+                    return
+            _put(None)
+        except BaseException as e:  # surfaced in the consumer
+            _put(e)
+        finally:
+            close = getattr(frames_in, "close", None)
+            if close is not None:
+                close()
+
+    threading.Thread(target=read_loop, daemon=True).start()
+    return inq, stop
+
+
+def batched_outputs(transform_async, inq, n_planes, batch, prefetch, stats):
+    """Yield per-frame output plane tuples from a reader queue, dispatching
+    padded ``batch``-frame device steps asynchronously (up to ``prefetch``
+    batches in flight while the host decodes/encodes neighbors)."""
+    batches = [[] for _ in range(n_planes)]
+    # (n_real_frames, device arrays) of submitted-but-unretired batches;
+    # JAX dispatch is asynchronous, so up to `prefetch` batches compute
+    # on the chip while the host works on others.
+    pending: deque = deque()
+
+    def submit():
+        n = len(batches[0])
+        if not n:
+            return
+        stacked = [np.stack(b) for b in batches]
+        if n < batch:
+            # Pad a partial tail batch to the steady-state shape: the
+            # executors are shape-specialized, so an odd-sized final
+            # batch would otherwise trace and compile a whole second
+            # program (minutes on remote backends) for a few frames.
+            stacked = [
+                np.concatenate([s, np.repeat(s[-1:], batch - n, 0)])
+                for s in stacked
+            ]
+        pending.append((n, transform_async(*stacked)))
+        for b in batches:
+            b.clear()
+
+    def retire():
+        n, outs = pending.popleft()
+        if not isinstance(outs, tuple):
+            outs = (outs,)
+        tb = time.perf_counter()
+        host = [np.asarray(o) for o in outs]  # waits for the device
+        # "seconds" counts time BLOCKED on device results; with
+        # prefetch > 0 compute hidden behind host IO is excluded
+        # (wall_seconds is the honest end-to-end number).
+        stats.record(n, time.perf_counter() - tb)
+        for k in range(n):
+            yield tuple(h[k] for h in host)
+
+    while True:
+        item = inq.get()
+        if item is None:
+            break
+        if isinstance(item, BaseException):
+            raise item
+        for b, p in zip(batches, item):
+            b.append(p)
+        if len(batches[0]) >= batch:
+            submit()
+            while len(pending) > max(prefetch, 0):
+                yield from retire()
+    submit()
+    while pending:
+        yield from retire()
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="transform360_tpu",
@@ -243,39 +343,7 @@ def main(argv=None) -> int:
     )
     t0 = time.perf_counter()
 
-    # Decode on a separate thread so container demux/decode overlaps the
-    # device step and the encode of earlier batches — the reference runs
-    # inside an FFmpeg graph whose decode/filter/encode stages likewise
-    # proceed concurrently.  The consumer sets `stop` on ANY exit (normal
-    # or error) so the reader never stays blocked on the bounded queue —
-    # an abandoned daemon thread would pin the open input file / decode
-    # subprocess for the life of an in-process caller.
-    inq: queue.Queue = queue.Queue(maxsize=max(2 * args.batch, 8))
-    stop = threading.Event()
-
-    def _put(item) -> bool:
-        while not stop.is_set():
-            try:
-                inq.put(item, timeout=0.2)
-                return True
-            except queue.Full:
-                continue
-        return False
-
-    def read_loop():
-        try:
-            for planes in frames_in:
-                if not _put(planes):
-                    return
-            _put(None)
-        except BaseException as e:  # surfaced in the consumer
-            _put(e)
-        finally:
-            close = getattr(frames_in, "close", None)
-            if close is not None:
-                close()
-
-    threading.Thread(target=read_loop, daemon=True).start()
+    inq, stop = start_reader(frames_in, args.batch)
 
     def frames_out_banded():
         """Latency mode: one frame at a time, its output rows banded
@@ -302,58 +370,10 @@ def main(argv=None) -> int:
             yield outs
 
     def frames_out():
-        batches = [[] for _ in range(pf.n_planes)]
-        # (n_real_frames, device arrays) of submitted-but-unretired
-        # batches; JAX dispatch is asynchronous, so up to --prefetch
-        # batches compute on the chip while the host works on others.
-        pending: deque = deque()
-
-        def submit():
-            n = len(batches[0])
-            if not n:
-                return
-            stacked = [np.stack(b) for b in batches]
-            if n < args.batch:
-                # Pad a partial tail batch to the steady-state shape: the
-                # executors are shape-specialized, so an odd-sized final
-                # batch would otherwise trace and compile a whole second
-                # program (minutes on remote backends) for a few frames.
-                stacked = [
-                    np.concatenate([s, np.repeat(s[-1:], args.batch - n, 0)])
-                    for s in stacked
-                ]
-            pending.append((n, t.transform_async(*stacked)))
-            for b in batches:
-                b.clear()
-
-        def retire():
-            n, outs = pending.popleft()
-            if not isinstance(outs, tuple):
-                outs = (outs,)
-            tb = time.perf_counter()
-            host = [np.asarray(o) for o in outs]  # waits for the device
-            # "seconds" counts time BLOCKED on device results; with
-            # --prefetch > 0 compute hidden behind host IO is excluded
-            # (wall_seconds is the honest end-to-end number).
-            stats.record(n, time.perf_counter() - tb)
-            for k in range(n):
-                yield tuple(h[k] for h in host)
-
-        while True:
-            item = inq.get()
-            if item is None:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            for b, p in zip(batches, item):
-                b.append(p)
-            if len(batches[0]) >= args.batch:
-                submit()
-                while len(pending) > max(args.prefetch, 0):
-                    yield from retire()
-        submit()
-        while pending:
-            yield from retire()
+        return batched_outputs(
+            t.transform_async, inq, pf.n_planes, args.batch, args.prefetch,
+            stats,
+        )
 
     out_iter = frames_out_banded if args.latency_bands else frames_out
     try:

@@ -19,8 +19,12 @@ import numpy as np
 from ..config import chroma_dims
 
 
-def _open_stream(path: str, mode: str):
-    """Open a raw-stream path; "-" is stdin/stdout (not closed on exit)."""
+def _open_stream(path, mode: str):
+    """Open a raw-stream path; "-" is stdin/stdout; an already-open binary
+    file object (e.g. a decode subprocess's pipe) is used as-is.  Neither
+    is closed on exit."""
+    if not isinstance(path, str):
+        return contextlib.nullcontext(path)
     if path == "-":
         f = sys.stdin.buffer if "r" in mode else sys.stdout.buffer
         return contextlib.nullcontext(f)
@@ -54,9 +58,10 @@ def frame_size_bytes(w: int, h: int, pix_fmt="yuv420p") -> int:
 
 
 def read_planar_frames(
-    path: str, w: int, h: int, max_frames: int = 0, pix_fmt="yuv420p"
+    path, w: int, h: int, max_frames: int = 0, pix_fmt="yuv420p"
 ) -> Iterator[Tuple[np.ndarray, ...]]:
-    """Yield per-frame uint8 plane tuples from a raw planar stream.
+    """Yield per-frame uint8 plane tuples from a raw planar stream
+    (a path, "-" for stdin, or an open binary file object).
 
     Plane dims derive from the format's log2 chroma shifts, like the
     reference's ``update_plane_sizes`` (``vf_transform360.c:87-97``)."""
