@@ -113,6 +113,36 @@ def test_band_plans_cost_balanced(rng):
     assert sum(heights) == 32 and min(heights) >= 2  # r = 2
 
 
+def test_plan_row_costs_model(rng):
+    """The fitted window-class cost model: row-level costs from the plan
+    itself, and row_costs='auto' stays byte-identical."""
+    from transform360_tpu.parallel.latency import plan_row_costs
+
+    cfg = TransformConfig(**MONO)
+    # both planes window-plan eligible (chroma: 256x128 in, 192x128 out)
+    plan = build_plan(cfg, 512, 256, 384, 256)
+    costs = plan_row_costs(plan)
+    assert costs is not None and costs.shape == (256,)
+    assert (costs >= 0).all() and costs.sum() > 0
+    planes = make_frame(rng, 256, 512)
+    want = transform_batch(plan, *planes)
+    got = transform_frame_banded(plan, planes, n=4, row_costs="auto")
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g, np.asarray(w))
+
+    # tiny planes (no window plan): the model declines and 'auto' falls
+    # back to uniform bands instead of crashing
+    small = build_plan(cfg, 128, 64, 48, 32)
+    assert plan_row_costs(small) is None
+    sframe = make_frame(rng, 64, 128)
+    got = transform_frame_banded(small, sframe, n=3, row_costs="auto")
+    for g, w in zip(got, transform_batch(small, *sframe)):
+        np.testing.assert_array_equal(g, np.asarray(w))
+
+    with pytest.raises(ValueError):
+        transform_frame_banded(small, sframe, row_costs="bogus")
+
+
 def test_cli_latency_bands(tmp_path, rng):
     """--latency-bands output must equal the batched single-device run."""
     from transform360_tpu.cli import main as cli_main

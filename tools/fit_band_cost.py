@@ -1,0 +1,89 @@
+"""Fit the batch-1 band cost model to a measured uniform-band profile.
+
+The single-frame latency path (parallel.latency) runs the window-gather
+kernel, whose per-supertile cost depends on its window class: regular
+(96x256 window, 2-chunk x-gather), wide (128x640, 5 chunks), or the XLA
+fallback patch.  This script builds the flagship plan on CPU, counts the
+classes under each uniform band, and least-squares fits
+
+    band_ms ~= c0 + cR*nR + cW*nW + cF*nF
+
+against the measured per-band times from tools/probe_latency_bands.py.
+The fitted ratios become the constants of parallel.latency.plan_row_costs
+(the model behind automatic cost-balanced band edges).
+
+    python tools/fit_band_cost.py 4.9 9.39 9.57 4.78 4.86 9.65 9.41 4.43
+"""
+
+import sys
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+IN_W, IN_H = 3840, 2160
+OUT_W, OUT_H = 1536, 1024
+
+
+def class_counts_per_row(plan):
+    """[out_h, 3] counts of (regular, wide, fallback-subtile) supertiles
+    whose 8 output rows intersect each luma row (chroma mapped x2)."""
+    rows = np.zeros((plan.luma.out_h, 3))
+
+    def add(pp, r, weight):
+        wp = pp.pallas.get()
+        for cls in wp.classes:
+            kind = 0 if (cls.win_h, cls.win_w) == (96, 256) else 1
+            for j in range(cls.n):
+                ti = int(cls.meta[0, j])  # supertile row index (TH=8 rows)
+                rows[ti * 8 * r : (ti + 1) * 8 * r, kind] += weight / (8 * r)
+        if wp.fb_rows is not None:
+            for sr in wp.fb_rows:
+                rows[int(sr) * 8 * r : (int(sr) + 1) * 8 * r, 2] += (
+                    weight / (8 * r)
+                )
+
+    add(plan.luma, 1, 1.0)
+    if plan.chroma is not None:
+        r = plan.luma.out_h // plan.chroma.out_h
+        add(plan.chroma, r, 2.0)  # U and V each run the chroma plan
+    return rows
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from transform360_tpu import TransformConfig, build_plan
+    from transform360_tpu.config import StereoFormat
+
+    ms = np.array([float(a) for a in sys.argv[1:]])
+    n = len(ms)
+    assert n >= 4, "need the measured per-band ms (uniform pass)"
+
+    cfg = TransformConfig(
+        input_stereo_format=StereoFormat.MONO,
+        output_stereo_format=StereoFormat.MONO,
+    )
+    plan = build_plan(cfg, IN_W, IN_H, OUT_W, OUT_H)
+    rows = class_counts_per_row(plan)
+    per_band = rows.reshape(n, -1, 3).sum(axis=1)
+
+    A = np.hstack([np.ones((n, 1)), per_band])
+    coef, res, *_ = np.linalg.lstsq(A, ms, rcond=None)
+    pred = A @ coef
+    print("bands (nR, nW, nF):")
+    for k in range(n):
+        print(f"  band {k}: {per_band[k].round(1)}  measured {ms[k]:.2f} "
+              f"pred {pred[k]:.2f}")
+    c0, cR, cW, cF = coef
+    print(f"fit: c0={c0:.3f} ms, cR={cR*1e3:.2f} us, cW={cW*1e3:.2f} us, "
+          f"cF={cF*1e3:.2f} us")
+    if cR > 0:
+        print(f"ratios: wide/regular={cW/cR:.2f}, fb/regular={cF/cR:.2f}")
+    err = np.abs(pred - ms)
+    print(f"max |err| = {err.max():.2f} ms  mean = {err.mean():.2f} ms")
+
+
+if __name__ == "__main__":
+    main()

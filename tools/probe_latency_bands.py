@@ -12,6 +12,9 @@ duplicated full-input blur is NOT a caveat at batch 1 — it measures
     python tools/probe_latency_bands.py 4          # other band count
     python tools/probe_latency_bands.py 8 --balance  # re-band at the
         # equal-cost quantiles of the measured profile and re-time
+    python tools/probe_latency_bands.py 8 --model --skip-uniform
+        # band at the fitted window-class model's edges
+        # (parallel.latency.plan_row_costs — what the CLI uses) and time
 
 Prints one JSON line per band plus a summary line per pass.
 """
@@ -86,17 +89,26 @@ def main():
     u = jax.device_put(rng.integers(0, 256, (1, ch, cw), dtype=np.uint8))
     v = jax.device_put(rng.integers(0, 256, (1, ch, cw), dtype=np.uint8))
 
-    times = time_bands(bands, y, u, v, "uniform")
+    if "--skip-uniform" not in sys.argv:
+        times = time_bands(bands, y, u, v, "uniform")
 
-    if "--balance" in sys.argv:
-        # spread each measured band time uniformly over its rows -> a
-        # piecewise-constant per-row cost profile -> equal-cost edges
-        row_costs = np.concatenate(
-            [np.full(b.luma.out_h, t / b.luma.out_h)
-             for b, t in zip(bands, times)]
-        )
-        balanced = band_plans(plan, n, row_costs=row_costs)
-        time_bands(balanced, y, u, v, "balanced")
+        if "--balance" in sys.argv:
+            # spread each measured band time uniformly over its rows -> a
+            # piecewise-constant per-row cost profile -> equal-cost edges
+            row_costs = np.concatenate(
+                [np.full(b.luma.out_h, t / b.luma.out_h)
+                 for b, t in zip(bands, times)]
+            )
+            balanced = band_plans(plan, n, row_costs=row_costs)
+            time_bands(balanced, y, u, v, "balanced")
+
+    if "--model" in sys.argv:
+        # the fitted window-class cost model (row-level resolution —
+        # finer than a measured per-band profile); the CLI's default
+        from transform360_tpu.parallel.latency import plan_row_costs
+
+        modeled = band_plans(plan, n, row_costs=plan_row_costs(plan))
+        time_bands(modeled, y, u, v, "model")
 
 
 if __name__ == "__main__":

@@ -363,8 +363,12 @@ def main(argv=None) -> int:
             if isinstance(item, BaseException):
                 raise item
             tb = time.perf_counter()
+            # "auto": cost-balanced band edges from the fitted window-
+            # class model — frame latency is max(band), and the
+            # flagship's measured per-band imbalance is ~2x
             outs = transform_frame_banded(
-                plan, item, devices=devs, n=min(n, len(devs))
+                plan, item, devices=devs, n=min(n, len(devs)),
+                row_costs="auto",
             )
             stats.record(1, time.perf_counter() - tb)
             yield outs

@@ -65,6 +65,64 @@ def _slice_plane(pp: PlanePlan, y0: int, y1: int) -> PlanePlan:
 
 _BAND_CACHE: Dict[Tuple, Tuple[TransformPlan, ...]] = {}
 
+# Relative supertile costs of the batch-1 window-gather kernel, fitted on
+# chip against the measured uniform-band profile of the flagship
+# (tools/probe_latency_bands.py -> tools/fit_band_cost.py, 2026-08-19:
+# regular 96x256-window supertile ~16.8 us; wide 128x640 1.14x; an
+# XLA-fallback SUBTILE 1.93x — ~7.7x per pixel, it patches 1/4 of a
+# supertile).  Only the ratios matter for edge placement.
+_COST_REGULAR = 1.0
+_COST_WIDE = 1.14
+_COST_FB_SUBTILE = 1.93
+
+
+def plan_row_costs(plan: TransformPlan) -> Optional[np.ndarray]:
+    """Model-based [luma out_h] per-row cost of the batch-1 remap path.
+
+    Counts each plane's window-gather supertiles per output row (chroma
+    rows mapped through the subsampling ratio; U and V each run the
+    chroma plan) weighted by the fitted class costs above — so
+    :func:`band_plans` can place cost-balanced edges WITHOUT a
+    measurement pass (frame latency is max(band); the flagship's
+    measured equator/pole imbalance is ~2x).  Verified against the
+    measured per-band profile: max |pred - measured| = 0.15 ms on
+    4.8-9.7 ms bands (tools/fit_band_cost.py).
+
+    Triggers the plan's deferred window-plan build (seconds at 4K,
+    one-time, memoized on the plan).  Returns None when a plane has no
+    window-gather plan (tiny planes on the XLA path): callers fall back
+    to uniform bands.
+    """
+    from ..ops.remap_pallas import CLASS_R
+
+    rows = np.zeros(plan.luma.out_h)
+
+    def add(pp: PlanePlan, r: int, weight: float) -> bool:
+        wp = pp.pallas.get()
+        if wp is None:
+            return False
+        unit = 8 * r  # luma rows covered by one supertile row
+        buckets = np.zeros(-(-plan.luma.out_h // unit) + 16)
+        for cls in wp.classes:
+            c = (
+                _COST_REGULAR
+                if (cls.win_h, cls.win_w) == CLASS_R[:2]
+                else _COST_WIDE
+            )
+            np.add.at(buckets, cls.meta[0].astype(int), weight * c)
+        if wp.fb_rows is not None:
+            np.add.at(
+                buckets, wp.fb_rows.astype(int), weight * _COST_FB_SUBTILE
+            )
+        rows[:] += np.repeat(buckets / unit, unit)[: plan.luma.out_h]
+        return True
+
+    ok = add(plan.luma, 1, 1.0)
+    if ok and plan.chroma is not None:
+        r = max(1, plan.luma.out_h // plan.chroma.out_h)
+        ok = add(plan.chroma, r, 2.0)
+    return rows if ok else None
+
 
 def _cost_edges(units: int, r: int, n: int, row_costs) -> List[int]:
     """Band edges (in luma rows, multiples of ``r``) at equal-cost
@@ -177,7 +235,16 @@ def transform_frame_banded(
     numpy planes, byte-identical to the unsharded transform.  All bands
     dispatch asynchronously before any blocks, so wall latency is
     max(band) + transfers, not the sum.
+
+    ``row_costs``: per-row relative costs for cost-balanced band edges
+    (see :func:`band_plans`); the string ``"auto"`` uses the fitted
+    :func:`plan_row_costs` model (uniform bands when the model has no
+    window plan to read).
     """
+    if isinstance(row_costs, str):
+        if row_costs != "auto":
+            raise ValueError(f"row_costs: array or 'auto', got {row_costs!r}")
+        row_costs = plan_row_costs(plan)
     if devices is None:
         devices = jax.devices()
     if n is None:
