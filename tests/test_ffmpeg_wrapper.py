@@ -137,6 +137,19 @@ def test_extract_t360_opts(monkeypatch):
     assert rest == ["-i", "x", "y.mp4"]
 
 
+def test_filter_complex_rejected():
+    with pytest.raises(wrap.UsageError):
+        wrap.find_transform360(
+            [("-filter_complex", "[0:v]transform360=w=64[out]")]
+        )
+    # parked before the -i: caught in main, not silently passed through
+    rc = wrap.main(
+        ["-filter_complex", "[0:v]transform360=w=64[o]", "-i", "a.mp4",
+         "out.mp4"]
+    )
+    assert rc == 2
+
+
 def test_passthrough_without_transform360(monkeypatch):
     calls = []
     monkeypatch.setattr(

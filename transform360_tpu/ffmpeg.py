@@ -148,6 +148,11 @@ def find_transform360(out_opts):
     ``None`` when the command has no transform360 filter.
     """
     for idx, (k, v) in enumerate(out_opts):
+        if k == "-filter_complex" and "transform360" in v:
+            raise UsageError(
+                "transform360 inside -filter_complex is not supported; "
+                "use -vf / -filter:v"
+            )
         if k == "-vf" or k == "-filter:v" or k.startswith("-filter:v:"):
             chain = split_filterchain(v)
             for j, elem in enumerate(chain):
@@ -266,6 +271,13 @@ def main(argv=None) -> int:
 
     try:
         inputs, out_opts, out_path, globals_ = tokenize(argv)
+        for opts, _ in inputs:  # -filter_complex parked before an -i
+            for k, v in opts:
+                if k == "-filter_complex" and "transform360" in (v or ""):
+                    raise UsageError(
+                        "transform360 inside -filter_complex is not "
+                        "supported; use -vf / -filter:v"
+                    )
         found = find_transform360(out_opts)
     except UsageError as e:
         print(f"error: {e}", file=sys.stderr)
