@@ -35,3 +35,15 @@ python -m transform360_tpu.cli --vf "cube_edge_length=512" \
 # Shard batches across N devices:
 python -m transform360_tpu.cli --vf "cube_edge_length=512" \
   --input-size 3840x2160 -i in.yuv -o out.yuv --batch 16 --devices 8
+
+# Single-frame LATENCY mode (live streams): band each frame's output
+# rows over N devices (cost-balanced edges) instead of batching frames.
+python -m transform360_tpu.cli --vf "cube_edge_length=512" \
+  -i in.mp4 -o out.mp4 --latency-bands 8 --stats
+
+# Or run an UNCHANGED reference ffmpeg command line — decode/encode and
+# any surrounding filters stay in ffmpeg, transform360 runs on TPU,
+# audio is mapped through (--t360-batch frames per device step):
+python -m transform360_tpu.ffmpeg --t360-batch 16 -y -i in.mp4 \
+  -vf "transform360=cube_edge_length=512:interpolation_alg=cubic" \
+  -c:v libx264 out.mp4

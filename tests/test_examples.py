@@ -50,6 +50,7 @@ def test_cli_script_parses():
     known = set()
     for action in build_parser()._actions:
         known.update(action.option_strings)
+    known |= {"--t360-batch", "--t360-prefetch", "--t360-stats"}  # ffmpeg.py
     script = open(os.path.join(EXAMPLES, "05_video_cli.sh")).read()
     for tok in script.split():
         if tok.startswith("--") and tok not in ("--",):
