@@ -182,6 +182,17 @@ def main():
         # (192x128 out) sits below the window-gather minimums, so this
         # measures the tiny-plane path on chip (VERDICT r2 weak #4)
         "x_small_edge128": (dict(**mono), (384, 256), 128),
+        "x_barrel_split": (
+            dict(output_layout=Layout.BARREL_SPLIT, **mono),
+            (1920, 1080), 128,
+        ),
+        # the VR-headset asymmetric projection (reference README's main
+        # production layout besides cubemap)
+        "x_offcenter": (
+            dict(output_layout=Layout.CUBEMAP_23_OFFCENTER,
+                 fixed_cube_offcenter_z=-0.7, **mono),
+            (1200, 800), 128,
+        ),
     }
 
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
