@@ -111,6 +111,29 @@ def test_cubemap_input(rng):
     )
 
 
+def test_polar_class_absorbs_cubemap_poles(rng):
+    # cubemap top/bottom-face tiles used to fall back to the XLA gather
+    # (measured 30% of the batch-1 flagship frame, tools/probe_fb_cost.py);
+    # the 128x1152 polar class now serves them in-kernel
+    pplan = run_case(
+        rng, TransformConfig(**MONO, enable_low_pass_filter=0),
+        (1024, 512), (384, 256),
+    )
+    assert (128, 1152) in [(c.win_h, c.win_w) for c in pplan.classes]
+    assert pplan.fb_rows is None
+
+
+def test_polar_class_with_residual_fallback(rng):
+    # heavy decimation: subtile footprints exceed even the polar windows,
+    # so all three kernel classes AND the XLA-fallback patch coexist
+    pplan = run_case(
+        rng, TransformConfig(**MONO, enable_low_pass_filter=0),
+        (2048, 1024), (192, 128),
+    )
+    assert len(pplan.classes) == 3
+    assert pplan.fb_rows is not None and pplan.fb_rows.shape[0] > 0
+
+
 def test_tiny_plane_has_no_pallas_plan():
     cfg = TransformConfig(**MONO, enable_low_pass_filter=0)
     plan = build_plan(cfg, 256, 128, 96, 64)

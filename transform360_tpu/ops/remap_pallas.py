@@ -21,9 +21,11 @@ an 8-aligned row sub-window (group_h rows) so vector ops touch only the
 rows that group samples.  Plan-time classification (done inline in
 :func:`build_pallas_remap`): subtile footprints that fit the regular class
 (window 96x256, group_h 48) use a 2-chunk x-gather; up to 128x640/64
-uses 5 chunks; anything wider (barrel polar caps, degenerate pole tiles
-— ~1% of cubemap tiles) falls back to the XLA gather on just those
-subtiles and is patched into the output.
+uses 5 chunks; the polar class 128x1152/96 (cubemap top/bottom-face
+tiles, measured 37% of the batch-1 luma remap when they ran on the XLA
+gather) uses 9; anything wider still (degenerate pole tiles — <<1%)
+falls back to the XLA gather on just those subtiles and is patched into
+the output.
 
 The kernel is layout-agnostic: all projection/stereo/border logic lives in
 the plan's per-lane index/weight arrays (built from the same 1/32-quantized
@@ -61,8 +63,20 @@ LANES = 128
 Y_ALIGN, X_ALIGN = 8, 128
 # (win_h, win_w, group_h): group_h is the per-output-row-group sub-window
 # height — every vector op in the kernel touches only group_h rows.
+# Each class must dominate the previous one in ALL THREE dims: supertile
+# class = max over its four subtiles, so a subtile classified R/W must
+# still fit the window of any higher class its supertile lands in.
 CLASS_R = (96, 256, 48)
 CLASS_W = (128, 640, 64)
+# Polar class: covers the cubemap top/bottom-face tiles that previously
+# fell back to the XLA gather (flagship: 376 luma + 88 chroma subtiles,
+# measured ~27% of the batch-1 frame).  They fail CLASS_W on group span
+# (g_span up to 89 > 57) and x-extent (up to 913 > 513), not on raw
+# window size.  Rare (~10% of supertiles), so its window scratch is
+# single-buffered: the exposed DMA (~0.6 µs/step at batch 1) is noise
+# against the ~20 µs body, and double-buffering 128x1152 windows at
+# batch 8 (9.4 MB) would crowd the ~16 MB VMEM.
+CLASS_P = (128, 1152, 96)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -147,8 +161,6 @@ def build_pallas_remap(spec: SampleSpec, fill: float) -> Optional["PallasRemapPl
 
     pad_y = T
     hp = -(-(H + 2 * pad_y) // Y_ALIGN) * Y_ALIGN  # extra rows are inert
-    wp = -(-(W + CLASS_W[1]) // X_ALIGN) * X_ALIGN
-    pad_x = wp - W
 
     out_hp = -(-out_h // TH) * TH
     out_wp = -(-out_w // (TW * SUB)) * (TW * SUB)
@@ -168,7 +180,7 @@ def build_pallas_remap(spec: SampleSpec, fill: float) -> Optional["PallasRemapPl
     ).astype(np.float32)  # [out_hp, out_wp, T]
 
     # --- classify subtiles -------------------------------------------------
-    sub_class = np.zeros((n_ty, n_tx), np.int8)  # 0=R, 1=W, 2=fallback
+    sub_class = np.zeros((n_ty, n_tx), np.int8)  # 0=R, 1=W, 2=P, 3=fallback
     sub_y0 = np.zeros((n_ty, n_tx), np.int64)
     sub_x0 = np.zeros((n_ty, n_tx), np.int64)
     px_rows = (np.arange(pg)[:, None] * px_per_group
@@ -191,16 +203,13 @@ def build_pallas_remap(spec: SampleSpec, fill: float) -> Optional["PallasRemapPl
             # per-group (output-row-group) y-span must fit the group window
             tby_f = tb_y.reshape(-1)[px_rows]  # [pg, px_per_group]
             g_span = int((tby_f.max(axis=1) - tby_f.min(axis=1)).max()) + T
-            if (y_ext <= CLASS_R[0] - (Y_ALIGN - 1)
-                    and x_ext <= CLASS_R[1] - (X_ALIGN - 1)
-                    and g_span <= CLASS_R[2] - (Y_ALIGN - 1)):
-                c = 0
-            elif (y_ext <= CLASS_W[0] - (Y_ALIGN - 1)
-                    and x_ext <= CLASS_W[1] - (X_ALIGN - 1)
-                    and g_span <= CLASS_W[2] - (Y_ALIGN - 1)):
-                c = 1
+            for c, dims in enumerate((CLASS_R, CLASS_W, CLASS_P)):
+                if (y_ext <= dims[0] - (Y_ALIGN - 1)
+                        and x_ext <= dims[1] - (X_ALIGN - 1)
+                        and g_span <= dims[2] - (Y_ALIGN - 1)):
+                    break
             else:
-                c = 2
+                c = 3
             sub_class[ti, tj] = c
             # quantize window origins to the DMA tiling
             sub_y0[ti, tj] = (y0 // Y_ALIGN) * Y_ALIGN
@@ -209,18 +218,24 @@ def build_pallas_remap(spec: SampleSpec, fill: float) -> Optional["PallasRemapPl
     # supertile class = max of its subtile classes (fallback subtiles are
     # computed with clamped windows and later overwritten)
     n_sx = n_tx // SUB
-    entries = {0: [], 1: []}
+    entries = {0: [], 1: [], 2: []}
     fb_tiles = []
     for ti in range(n_ty):
         for sj in range(n_sx):
             cls = 0
             for s in range(SUB):
                 c = sub_class[ti, sj * SUB + s]
-                if c == 2:
+                if c == 3:
                     fb_tiles.append((ti, sj * SUB + s))
                 else:
                     cls = max(cls, int(c))
             entries[cls].append((ti, sj))
+
+    # x-pad follows the widest class actually present (min CLASS_W, so
+    # plans that predate CLASS_P keep their padded plane byte-identical)
+    widest = CLASS_P[1] if entries[2] else CLASS_W[1]
+    wp = -(-(W + widest) // X_ALIGN) * X_ALIGN
+    pad_x = wp - W
 
     # tx-major lane order: lane = tx*px_per_group + px, so the in-kernel
     # tap reduction is a sum of contiguous static lane slices (no lane-split
@@ -284,7 +299,8 @@ def build_pallas_remap(spec: SampleSpec, fill: float) -> Optional["PallasRemapPl
 
     built = tuple(
         c
-        for c in (build_class(0, CLASS_R), build_class(1, CLASS_W))
+        for c in (build_class(0, CLASS_R), build_class(1, CLASS_W),
+                  build_class(2, CLASS_P))
         if c is not None
     )
 
@@ -397,6 +413,13 @@ def _wy_weights(interp: Interpolation, f, t_iota):
     return jnp.where(exact, jnp.where(t_iota == 3, 1.0, 0.0), w)
 
 
+def _class_nbuf(cls: RemapClass) -> int:
+    """Window-scratch buffer count: double everywhere except the rare
+    polar class, whose 128x1152 windows would not fit VMEM double-
+    buffered at batch 8 (see CLASS_P note above)."""
+    return 1 if (cls.win_h, cls.win_w) == CLASS_P[:2] else 2
+
+
 def _make_kernel(plan: PallasRemapPlan, cls: RemapClass, batch: int):
     T = plan.taps
     PG = plan.pg
@@ -405,6 +428,7 @@ def _make_kernel(plan: PallasRemapPlan, cls: RemapClass, batch: int):
     n_chunks = ww // LANES
     interp = plan.interp
     n = cls.n
+    nbuf = _class_nbuf(cls)
 
     def kernel(meta_ref, gy0_ref, lx_ref, ly_ref, wx_ref, fy_ref, addb_ref,
                src_ref, out_ref, win, sems):
@@ -421,17 +445,26 @@ def _make_kernel(plan: PallasRemapPlan, cls: RemapClass, batch: int):
                 sems.at[slot, s],
             )
 
-        @pl.when(i == 0)
-        def _():
+        if nbuf == 1:
+            # serial DMA↔compute: the in-order core issues these starts
+            # after the previous step's vector reads of `win`, so reusing
+            # the single slot is race-free; the exposed latency is noise
+            # for the rare class this serves (see _class_nbuf)
+            slot = 0
             for s in range(SUB):
-                dma(0, 0, s).start()
+                dma(0, i, s).start()
+        else:
+            @pl.when(i == 0)
+            def _():
+                for s in range(SUB):
+                    dma(0, 0, s).start()
 
-        @pl.when(i + 1 < n)
-        def _():
-            for s in range(SUB):
-                dma((i + 1) % 2, i + 1, s).start()
+            @pl.when(i + 1 < n)
+            def _():
+                for s in range(SUB):
+                    dma((i + 1) % 2, i + 1, s).start()
 
-        slot = i % 2
+            slot = i % 2
         for s in range(SUB):
             dma(slot, i, s).wait()
 
@@ -566,8 +599,11 @@ def _run_class(plan, cls: RemapClass, padded, prev_out, interpret):
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, SUB, batch, cls.win_h, cls.win_w), jnp.uint8),
-            pltpu.SemaphoreType.DMA((2, SUB)),
+            pltpu.VMEM(
+                (_class_nbuf(cls), SUB, batch, cls.win_h, cls.win_w),
+                jnp.uint8,
+            ),
+            pltpu.SemaphoreType.DMA((_class_nbuf(cls), SUB)),
         ],
     )
     return pl.pallas_call(

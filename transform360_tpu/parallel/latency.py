@@ -70,9 +70,13 @@ _BAND_CACHE: Dict[Tuple, Tuple[TransformPlan, ...]] = {}
 # (tools/probe_latency_bands.py -> tools/fit_band_cost.py, 2026-08-19:
 # regular 96x256-window supertile ~16.8 us; wide 128x640 1.14x; an
 # XLA-fallback SUBTILE 1.93x — ~7.7x per pixel, it patches 1/4 of a
-# supertile).  Only the ratios matter for edge placement.
+# supertile).  Only the ratios matter for edge placement.  The polar
+# 128x1152 class (which absorbed most former fallback subtiles) is
+# provisionally extrapolated from the per-x-chunk slope R(2)->W(5)
+# applied to its 9 chunks, pending an on-chip refit.
 _COST_REGULAR = 1.0
 _COST_WIDE = 1.14
+_COST_POLAR = 1.4
 _COST_FB_SUBTILE = 1.93
 
 
@@ -93,7 +97,7 @@ def plan_row_costs(plan: TransformPlan) -> Optional[np.ndarray]:
     window-gather plan (tiny planes on the XLA path): callers fall back
     to uniform bands.
     """
-    from ..ops.remap_pallas import CLASS_R
+    from ..ops.remap_pallas import CLASS_P, CLASS_R
 
     rows = np.zeros(plan.luma.out_h)
 
@@ -104,11 +108,13 @@ def plan_row_costs(plan: TransformPlan) -> Optional[np.ndarray]:
         unit = 8 * r  # luma rows covered by one supertile row
         buckets = np.zeros(-(-plan.luma.out_h // unit) + 16)
         for cls in wp.classes:
-            c = (
-                _COST_REGULAR
-                if (cls.win_h, cls.win_w) == CLASS_R[:2]
-                else _COST_WIDE
-            )
+            dims = (cls.win_h, cls.win_w)
+            if dims == CLASS_R[:2]:
+                c = _COST_REGULAR
+            elif dims == CLASS_P[:2]:
+                c = _COST_POLAR
+            else:
+                c = _COST_WIDE
             np.add.at(buckets, cls.meta[0].astype(int), weight * c)
         if wp.fb_rows is not None:
             np.add.at(
