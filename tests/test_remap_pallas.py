@@ -134,6 +134,19 @@ def test_polar_class_with_residual_fallback(rng):
     assert pplan.fb_rows is not None and pplan.fb_rows.shape[0] > 0
 
 
+def test_short_input_skips_oversize_window_classes(rng):
+    # an input shorter than a class's window height (hp=104 < 128) must
+    # not classify subtiles into that class: the build-time origin clamp
+    # clip(y0, 0, hp - win_h) would go negative and the window DMA would
+    # read out of bounds.  Oversize spans route to the XLA fallback.
+    pplan = run_case(
+        rng, TransformConfig(**MONO, enable_low_pass_filter=0),
+        (512, 96), (192, 128),
+    )
+    assert all(c.win_h <= pplan.hp for c in pplan.classes)
+    assert pplan.fb_rows is not None  # the tall-span tiles fell back
+
+
 def test_tiny_plane_has_no_pallas_plan():
     cfg = TransformConfig(**MONO, enable_low_pass_filter=0)
     plan = build_plan(cfg, 256, 128, 96, 64)

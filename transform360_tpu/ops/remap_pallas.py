@@ -204,7 +204,11 @@ def build_pallas_remap(spec: SampleSpec, fill: float) -> Optional["PallasRemapPl
             tby_f = tb_y.reshape(-1)[px_rows]  # [pg, px_per_group]
             g_span = int((tby_f.max(axis=1) - tby_f.min(axis=1)).max()) + T
             for c, dims in enumerate((CLASS_R, CLASS_W, CLASS_P)):
-                if (y_ext <= dims[0] - (Y_ALIGN - 1)
+                # dims[0] <= hp: the window must fit the padded plane, or
+                # the build-time origin clamp would go negative (short
+                # inputs, e.g. the chroma of a 192-row equirect)
+                if (dims[0] <= hp
+                        and y_ext <= dims[0] - (Y_ALIGN - 1)
                         and x_ext <= dims[1] - (X_ALIGN - 1)
                         and g_span <= dims[2] - (Y_ALIGN - 1)):
                     break
