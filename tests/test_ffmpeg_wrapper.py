@@ -116,16 +116,28 @@ def test_probe_decoded_parses_ffmpeg_output(monkeypatch):
         "Input #0, mov, from 'in.mp4':\n"
         "    Stream #0:0: Video: h264, yuv420p, 3840x2160, 30 fps\n"
         "Output #0, null, to 'pipe:':\n"
-        "    Stream #0:0: Video: wrapped_avframe, yuv420p, 1920x960 "
-        "[SAR 1:1], q=2-31, 29.97 fps, 29.97 tbn\n"
+        "    Stream #0:0: Video: wrapped_avframe, yuv444p(tv, "
+        "progressive), 1920x960 [SAR 1:1], q=2-31, 29.97 fps, 29.97 tbn\n"
     )
     monkeypatch.setattr(
         wrap.subprocess, "run",
         lambda *a, **k: subprocess.CompletedProcess(a, 0, "", stderr),
     )
-    w, h, fps = wrap.probe_decoded([], "in.mp4", ["scale=1920:960"])
+    w, h, fps, fmt = wrap.probe_decoded([], "in.mp4", ["scale=1920:960"])
     assert (w, h) == (1920, 960)
     assert fps == pytest.approx(29.97)
+    assert fmt == "yuv444p"
+
+
+def test_pipe_format_registry_and_fallback(capsys):
+    # registry formats pass through; yuvj names map to the byte-identical
+    # yuv twin; packed/semi-planar formats fall back to yuv420p, loudly
+    assert wrap.pipe_format("yuv444p") == "yuv444p"
+    assert wrap.pipe_format("yuvj422p") == "yuv422p"
+    assert wrap.pipe_format("gbrp") == "gbrp"
+    assert capsys.readouterr().err == ""
+    assert wrap.pipe_format("nv12") == "yuv420p"
+    assert "nv12" in capsys.readouterr().err
 
 
 def test_extract_t360_opts(monkeypatch):
@@ -175,15 +187,18 @@ class _Sink(io.BytesIO):
         pass
 
 
-def test_wrapper_end_to_end_fake_pipes(tmp_path, rng, monkeypatch, capsys):
+@pytest.mark.parametrize("pix_fmt", ["yuv420p", "yuv444p"])
+def test_wrapper_end_to_end_fake_pipes(pix_fmt, rng, monkeypatch, capsys):
     """Full wrapper run against in-memory decode/encode pipes: the encoded
-    byte stream must equal the direct-API transform of the same frames."""
+    byte stream must equal the direct-API transform of the same frames.
+    An unchanged yuv444p command line round-trips with no chroma loss
+    (the pipes carry the probed format, not a hardcoded yuv420p)."""
     from transform360_tpu import open_filter
     from transform360_tpu.config import chroma_dims
     from transform360_tpu.utils import video
 
     w, h, n = 128, 64, 5
-    cw, ch = chroma_dims(w, h)
+    cw, ch = chroma_dims(w, h, pix_fmt)
     y = rng.integers(0, 256, (n, h, w), dtype=np.uint8)
     u = rng.integers(0, 256, (n, ch, cw), dtype=np.uint8)
     v = rng.integers(0, 256, (n, ch, cw), dtype=np.uint8)
@@ -203,7 +218,7 @@ def test_wrapper_end_to_end_fake_pipes(tmp_path, rng, monkeypatch, capsys):
     monkeypatch.setattr(wrap.subprocess, "Popen", fake_popen)
     monkeypatch.setattr(video, "have_ffmpeg", lambda: True)
     monkeypatch.setattr(
-        video, "_probe_ffmpeg", lambda path: (w, h, 30.0)
+        video, "_probe_ffmpeg", lambda path: (w, h, 30.0, pix_fmt)
     )
 
     rc = wrap.main(
@@ -212,8 +227,10 @@ def test_wrapper_end_to_end_fake_pipes(tmp_path, rng, monkeypatch, capsys):
     )
     assert rc == 0
     assert len(spawned) == 2
+    for cmd in spawned:  # both raw pipes carry the probed format
+        assert cmd[cmd.index("-pix_fmt") + 1] == pix_fmt
 
-    ey, eu, ev = open_filter(VF, w, h).transform(y, u, v)
+    ey, eu, ev = open_filter(VF, w, h, pix_fmt=pix_fmt).transform(y, u, v)
     want = b"".join(
         np.asarray(p).tobytes()
         for k in range(n)

@@ -2,15 +2,19 @@
 healthy pipeline and flip red under a deliberately injected kernel bug —
 proving a silent kernel regression cannot keep BENCH green."""
 
+import dataclasses
+
 import numpy as np
 
 from transform360_tpu import pipeline, sampling
 from transform360_tpu.fidelity import bench_fidelity
+from transform360_tpu.parallel import latency
 from transform360_tpu.plan import clear_plan_cache
 
 
 def _reset_caches():
     pipeline.clear_executor_cache()
+    latency.clear_band_caches()
     clear_plan_cache()
 
 
@@ -40,3 +44,52 @@ def test_gate_green_then_red_on_injected_tap_bug(monkeypatch):
         f"injected tap bug not detected: {broken}"
     )
     _reset_caches()
+
+
+def test_gate_red_on_injected_window_kernel_bug(monkeypatch):
+    """A bug confined to the window-gather kernel (the batch<8 path and
+    the engine under every latency-band execution) must flip the gate
+    red.  On this CPU box the pipeline would route everything to XLA, so
+    the routing/interpret knobs are forced: the Pallas window kernel runs
+    in interpret mode, which executes the exact kernel body."""
+    from transform360_tpu.ops import remap_pallas as rp
+
+    kw = dict(in_wh=(512, 256), out_wh=(192, 128), batch=2)
+
+    monkeypatch.setattr(
+        pipeline, "_use_pallas", lambda pp: rp.pallas_eligible(pp.spec)
+    )
+    real_prog = pipeline._plane_program
+
+    def interpreted(pp, use_pallas, interpret=False):
+        return real_prog(pp, use_pallas, interpret=True)
+
+    monkeypatch.setattr(pipeline, "_plane_program", interpreted)
+
+    _reset_caches()
+    healthy = bench_fidelity(**kw)
+    assert healthy["worst_db"] >= 50.0, healthy
+
+    # inject: scale one window class's x-tap weights by 2% — plan data
+    # that ONLY the window-gather kernel reads (the XLA path and the lane
+    # kernels never touch PallasRemapPlan)
+    real_build = rp.build_pallas_remap
+
+    def buggy(spec, fill):
+        plan = real_build(spec, fill)
+        if plan is None or not plan.classes:
+            return plan
+        c0 = dataclasses.replace(
+            plan.classes[0], wx=plan.classes[0].wx * 1.02
+        )
+        return dataclasses.replace(plan, classes=(c0,) + plan.classes[1:])
+
+    monkeypatch.setattr(rp, "build_pallas_remap", buggy)
+    _reset_caches()
+    try:
+        broken = bench_fidelity(**kw)
+    finally:
+        _reset_caches()
+    assert broken["worst_db"] < 50.0, (
+        f"injected window-kernel bug not detected: {broken}"
+    )

@@ -2,15 +2,18 @@
 
 The single-frame latency path (parallel.latency) runs the window-gather
 kernel, whose per-supertile cost depends on its window class: regular
-(96x256 window, 2-chunk x-gather), wide (128x640, 5 chunks), or the XLA
-fallback patch.  This script builds the flagship plan on CPU, counts the
-classes under each uniform band, and least-squares fits
+(96x256 window, 2-chunk x-gather), wide (128x640, 5 chunks), polar
+(128x1152, 9 chunks, single-buffered — CLASS_P), or the XLA fallback
+patch.  This script builds the flagship plan on CPU, counts the classes
+under each uniform band, and least-squares fits
 
-    band_ms ~= c0 + cR*nR + cW*nW + cF*nF
+    band_ms ~= c0 + cR*nR + cW*nW + cP*nP [+ cF*nF]
 
 against the measured per-band times from tools/probe_latency_bands.py.
-The fitted ratios become the constants of parallel.latency.plan_row_costs
-(the model behind automatic cost-balanced band edges).
+(The fallback column is dropped from the fit when no band has fallback
+subtiles — post-CLASS_P the flagship has none.)  The fitted ratios
+become the constants of parallel.latency.plan_row_costs (the model
+behind automatic cost-balanced band edges).
 
     python tools/fit_band_cost.py 4.9 9.39 9.57 4.78 4.86 9.65 9.41 4.43
 """
@@ -26,20 +29,25 @@ OUT_W, OUT_H = 1536, 1024
 
 
 def class_counts_per_row(plan):
-    """[out_h, 3] counts of (regular, wide, fallback-subtile) supertiles
-    whose 8 output rows intersect each luma row (chroma mapped x2)."""
-    rows = np.zeros((plan.luma.out_h, 3))
+    """[out_h, 4] counts of (regular, wide, polar, fallback-subtile)
+    supertiles whose 8 output rows intersect each luma row (chroma
+    mapped x2)."""
+    from transform360_tpu.ops.remap_pallas import CLASS_P, CLASS_R
+
+    rows = np.zeros((plan.luma.out_h, 4))
 
     def add(pp, r, weight):
         wp = pp.pallas.get()
         for cls in wp.classes:
-            kind = 0 if (cls.win_h, cls.win_w) == (96, 256) else 1
+            dims = (cls.win_h, cls.win_w)
+            kind = 0 if dims == CLASS_R[:2] else (
+                2 if dims == CLASS_P[:2] else 1)
             for j in range(cls.n):
                 ti = int(cls.meta[0, j])  # supertile row index (TH=8 rows)
                 rows[ti * 8 * r : (ti + 1) * 8 * r, kind] += weight / (8 * r)
         if wp.fb_rows is not None:
             for sr in wp.fb_rows:
-                rows[int(sr) * 8 * r : (int(sr) + 1) * 8 * r, 2] += (
+                rows[int(sr) * 8 * r : (int(sr) + 1) * 8 * r, 3] += (
                     weight / (8 * r)
                 )
 
@@ -67,20 +75,25 @@ def main():
     )
     plan = build_plan(cfg, IN_W, IN_H, OUT_W, OUT_H)
     rows = class_counts_per_row(plan)
-    per_band = rows.reshape(n, -1, 3).sum(axis=1)
+    per_band = rows.reshape(n, -1, 4).sum(axis=1)
 
-    A = np.hstack([np.ones((n, 1)), per_band])
+    cols = [0, 1, 2, 3]
+    if not per_band[:, 3].any():
+        cols = [0, 1, 2]  # no fallback subtiles anywhere (post-CLASS_P)
+    A = np.hstack([np.ones((n, 1)), per_band[:, cols]])
     coef, res, *_ = np.linalg.lstsq(A, ms, rcond=None)
     pred = A @ coef
-    print("bands (nR, nW, nF):")
+    print("bands (nR, nW, nP, nF):")
     for k in range(n):
         print(f"  band {k}: {per_band[k].round(1)}  measured {ms[k]:.2f} "
               f"pred {pred[k]:.2f}")
-    c0, cR, cW, cF = coef
+    c0, cR, cW, cP = coef[:4]
+    cF = coef[4] if len(coef) > 4 else float("nan")
     print(f"fit: c0={c0:.3f} ms, cR={cR*1e3:.2f} us, cW={cW*1e3:.2f} us, "
-          f"cF={cF*1e3:.2f} us")
+          f"cP={cP*1e3:.2f} us, cF={cF*1e3:.2f} us")
     if cR > 0:
-        print(f"ratios: wide/regular={cW/cR:.2f}, fb/regular={cF/cR:.2f}")
+        print(f"ratios: wide/regular={cW/cR:.2f}, polar/regular={cP/cR:.2f}"
+              + (f", fb/regular={cF/cR:.2f}" if len(coef) > 4 else ""))
     err = np.abs(pred - ms)
     print(f"max |err| = {err.max():.2f} ms  mean = {err.mean():.2f} ms")
 

@@ -13,10 +13,16 @@ module accepts that exact argv — swap ``ffmpeg`` for
 It splits the command at the transform360 filter: filters BEFORE it run
 in an ffmpeg decode subprocess, the transform itself runs on the TPU
 (batched + prefetched, same pipeline as :mod:`.cli`), and filters AFTER
-it plus every output option run in an ffmpeg encode subprocess.  Audio
-from a container input is mapped through with ``-c:a copy`` unless the
-command already routes streams itself (``-map``/``-an``).  An argv with
-no transform360 filter is handed to the real ``ffmpeg`` verbatim.
+it plus every output option run in an ffmpeg encode subprocess.  The
+raw pipes carry the stream's OWN negotiated pixel format whenever it is
+in the pipeline's planar registry (yuv420p/422p/444p/411p/410p/440p,
+gbrp, gray — matching the reference filter, which declares no format
+list and processes whatever the graph negotiates,
+``vf_transform360.c:87-97,107-108``); formats outside it convert to
+yuv420p with a warning.  Audio from a container input is mapped through
+with ``-c:a copy`` unless the command already routes streams itself
+(``-map``/``-an``).  An argv with no transform360 filter is handed to
+the real ``ffmpeg`` verbatim.
 
 Wrapper-only knobs (stripped before ffmpeg parsing, or env vars):
 ``--t360-batch N`` / ``T360_BATCH`` (frames per device step, default 8),
@@ -164,15 +170,17 @@ def find_transform360(out_opts):
 
 _OUT_RE = re.compile(r"Output #0.*?(\d{2,5})x(\d{2,5})", re.S)
 _FPS_RE = re.compile(r"([\d.]+) fps")
+_PIX_RE = re.compile(r"Video:[^,]+,\s*([a-z0-9_]+)")
 
 
 def probe_decoded(in_opts, in_path, pre_chain):
-    """Frame size and rate of the stream ENTERING transform360.
+    """Size, rate, and pixel format of the stream ENTERING transform360.
 
     With no preceding filters this is an ffprobe of the input; otherwise
     one frame is pushed through the pre-chain into the null muxer and the
     Output #0 stream line is parsed — ffmpeg itself reports the
-    negotiated post-filter geometry.
+    negotiated post-filter geometry and format.  Returns
+    ``(w, h, fps, pix_fmt)``.
     """
     from .utils.video import _probe_ffmpeg
 
@@ -189,7 +197,39 @@ def probe_decoded(in_opts, in_path, pre_chain):
             f"filters {pre_chain}: {r.stderr.strip().splitlines()[-1:]}"
         )
     fm = _FPS_RE.search(tail[1])
-    return int(m.group(1)), int(m.group(2)), float(fm.group(1)) if fm else 30.0
+    pm = _PIX_RE.search(tail[1])
+    return (
+        int(m.group(1)), int(m.group(2)),
+        float(fm.group(1)) if fm else 30.0,
+        pm.group(1) if pm else "yuv420p",
+    )
+
+
+def pipe_format(src_fmt: str) -> str:
+    """Raw-pipe pixel format for a probed source format.
+
+    The reference filter declares no pix-fmt list: it processes whatever
+    planar format the graph negotiates, reading plane count and chroma
+    shifts from the descriptor (``vf_transform360.c:87-97,107-108``).
+    Formats in the pipeline's registry pass through losslessly (yuvj*
+    renamed to their byte-identical yuv* twin — the rawvideo pipe has no
+    JPEG-range tag); anything else (packed, semi-planar, alpha, >8-bit)
+    converts to yuv420p with a loud warning, since the TPU pipeline is
+    8-bit planar.
+    """
+    from .config import PIXEL_FORMATS
+
+    fmt = (src_fmt or "yuv420p").lower()
+    if fmt.startswith("yuvj"):
+        fmt = "yuv" + fmt[4:]
+    if fmt in PIXEL_FORMATS:
+        return fmt
+    print(
+        f"warning: pix_fmt {src_fmt!r} is outside the TPU pipeline's "
+        "planar-8-bit registry; converting to yuv420p at the decode pipe",
+        file=sys.stderr,
+    )
+    return "yuv420p"
 
 
 def _flatten(opts) -> List[str]:
@@ -225,7 +265,7 @@ def _extract_t360_opts(argv: List[str]):
 
 
 def build_commands(inputs, out_opts, out_path, globals_, found, size_rate,
-                   out_dims):
+                   out_dims, pix_fmt="yuv420p"):
     """Assemble the decode and encode ffmpeg argvs (pure, for tests)."""
     vf_idx, pre_chain, _, post_chain = found
     (in_opts, in_path) = inputs[0]
@@ -236,12 +276,12 @@ def build_commands(inputs, out_opts, out_path, globals_, found, size_rate,
            "-i", in_path]
     if pre_chain:
         dec += ["-vf", ",".join(pre_chain)]
-    dec += ["-f", "rawvideo", "-pix_fmt", "yuv420p", "-"]
+    dec += ["-f", "rawvideo", "-pix_fmt", pix_fmt, "-"]
 
     enc_opts = [p for i, p in enumerate(out_opts) if i != vf_idx]
     overwrite = [f for f in globals_ if f in ("-y", "-n")]
     enc = ["ffmpeg", "-v", "error", *overwrite,
-           "-f", "rawvideo", "-pix_fmt", "yuv420p",
+           "-f", "rawvideo", "-pix_fmt", pix_fmt,
            "-s", f"{out_w}x{out_h}", "-r", f"{fps}", "-i", "-"]
     # carry the audio (and let -c:a copy skip a useless re-encode) the way
     # the in-process reference filter graph does — unless the user routes
@@ -313,16 +353,17 @@ def main(argv=None) -> int:
 
     in_opts, in_path = inputs[0]
     try:
-        in_w, in_h, fps = probe_decoded(in_opts, in_path, found[1])
+        in_w, in_h, fps, src_fmt = probe_decoded(in_opts, in_path, found[1])
     except (UsageError, subprocess.CalledProcessError) as e:
         print(f"error: {e}", file=sys.stderr)
         return 2
+    fmt = pipe_format(src_fmt)
 
-    t = open_filter(found[2], in_w, in_h)
+    t = open_filter(found[2], in_w, in_h, pix_fmt=fmt)
     out_w, out_h = t.output_dims()
     dec_cmd, enc_cmd = build_commands(
         inputs, out_opts, out_path, globals_, found,
-        (in_w, in_h, fps), (out_w, out_h),
+        (in_w, in_h, fps), (out_w, out_h), pix_fmt=fmt,
     )
 
     from .cli import batched_outputs, start_reader
@@ -331,7 +372,7 @@ def main(argv=None) -> int:
     t0 = time.perf_counter()
     dec = subprocess.Popen(dec_cmd, stdout=subprocess.PIPE)
     enc = subprocess.Popen(enc_cmd, stdin=subprocess.PIPE)
-    pf = get_pixel_format("yuv420p")
+    pf = get_pixel_format(fmt)
     inq, stop = start_reader(
         read_planar_frames(dec.stdout, in_w, in_h, 0, pf), batch
     )

@@ -8,12 +8,16 @@ a reduced size (the kernels and plan machinery are size-generic; the
 oracle costs seconds instead of ~40 s at full 4K) and returns the
 worst-plane PSNR, which bench.py emits alongside the fps number.
 
-On a TPU backend the production Pallas kernels are exercised on BOTH lane
-sub-paths (pack-K for low-occupancy batches, and the plain padded kernel
-that the batch-128 headline uses); on CPU the XLA gather path runs.  The
-reference behavior being checked is the full filter pipeline
-(``VideoFrameTransform.cpp:707-794``: prefilter -> cv::remap) via the
-declared golden oracle (:mod:`transform360_tpu.oracle`).
+On a TPU backend the production Pallas kernels are exercised on ALL
+production paths: both lane sub-paths (pack-K for low-occupancy batches,
+and the plain padded kernel that the batch-128 headline uses), the
+window-gather kernel at batch 1 — covering every window class incl. the
+polar CLASS_P, all present at the gate size with zero fallback subtiles —
+and the latency-banded execution (two model-balanced output row-bands,
+:mod:`transform360_tpu.parallel.latency`).  On CPU the XLA gather path
+runs throughout.  The reference behavior being checked is the full
+filter pipeline (``VideoFrameTransform.cpp:707-794``: prefilter ->
+cv::remap) via the declared golden oracle (:mod:`transform360_tpu.oracle`).
 """
 
 from __future__ import annotations
@@ -87,14 +91,31 @@ def bench_fidelity(
     old_pack = pipeline.LANE_PACK_MAX
     pack_modes = (old_pack, 1) if old_pack > 1 else (1,)
     out: Dict[str, float] = {}
+
+    def fold(got):
+        for pname, g, w in zip("YUV", got, want):
+            out[pname] = min(out.get(pname, np.inf), psnr(g, w))
+
     try:
         for pack in pack_modes:
             pipeline.LANE_PACK_MAX = pack
-            got = [np.asarray(p[0]) for p in transform_batch(plan, yb, ub, vb)]
-            for pname, g, w in zip("YUV", got, want):
-                db = psnr(g, w)
-                out[pname] = min(out.get(pname, np.inf), db)
+            fold(np.asarray(p[0]) for p in transform_batch(plan, yb, ub, vb))
     finally:
         pipeline.LANE_PACK_MAX = old_pack
+
+    # batch 1 routes below LANE_MIN_BATCH: the window-gather kernel on
+    # kernel backends (all window classes incl. polar CLASS_P present at
+    # this size) — the path every latency-band execution runs on
+    fold(
+        np.asarray(p[0])
+        for p in transform_batch(plan, yb[:1], ub[:1], vb[:1])
+    )
+
+    # latency-banded execution: two cost-model-balanced output row-bands
+    # (parallel.latency band slicing + the fitted class-cost model)
+    from .parallel.latency import transform_frame_banded
+
+    fold(transform_frame_banded(plan, (y, u, v), n=2, row_costs="auto"))
+
     out["worst_db"] = min(out[p] for p in "YUV")
     return out

@@ -28,17 +28,19 @@ def have_ffmpeg() -> bool:
     return shutil.which("ffmpeg") is not None and shutil.which("ffprobe") is not None
 
 
-def _probe_ffmpeg(path: str) -> Tuple[int, int, float]:
+def _probe_ffmpeg(path: str) -> Tuple[int, int, float, str]:
     out = subprocess.run(
         [
             "ffprobe", "-v", "error", "-select_streams", "v:0",
-            "-show_entries", "stream=width,height,r_frame_rate",
+            "-show_entries", "stream=width,height,r_frame_rate,pix_fmt",
             "-of", "csv=p=0", path,
         ],
         capture_output=True, text=True, check=True,
     ).stdout.strip()
-    w, h, rate = out.split(",")[:3]
-    return int(w), int(h), parse_frame_rate(rate)
+    parts = out.split(",")
+    w, h, rate = parts[:3]
+    pix_fmt = parts[3] if len(parts) > 3 else "yuv420p"
+    return int(w), int(h), parse_frame_rate(rate), pix_fmt
 
 
 def parse_frame_rate(rate: str, default: float = 30.0) -> float:
@@ -78,7 +80,7 @@ class VideoReader:
         self.max_frames = max_frames
         self._backend = "ffmpeg" if have_ffmpeg() else "cv2"
         if self._backend == "ffmpeg":
-            self.width, self.height, self.fps = _probe_ffmpeg(path)
+            self.width, self.height, self.fps, _ = _probe_ffmpeg(path)
         else:
             import cv2
 
