@@ -149,17 +149,71 @@ def test_extract_t360_opts(monkeypatch):
     assert rest == ["-i", "x", "y.mp4"]
 
 
-def test_filter_complex_rejected():
+def test_filter_complex_linear_rewrite():
+    """A linear single-stream -filter_complex graph is rewritten into the
+    -vf form: labels stripped, the output-label -map absorbed, source
+    audio maps renumbered to the encode command's input 1."""
+    opts, needs = wrap.rewrite_filter_complex(
+        [("-filter_complex",
+          "[0:v]scale=320:160,transform360=cube_edge_length=64,hflip[v]"),
+         ("-map", "[v]"), ("-c:v", "libx264")]
+    )
+    assert opts == [
+        ("-vf", "scale=320:160,transform360=cube_edge_length=64,hflip"),
+        ("-c:v", "libx264"),
+    ]
+    assert needs is False
+    found = wrap.find_transform360(opts)
+    assert found[1] == ["scale=320:160"] and found[3] == ["hflip"]
+
+    # with explicit source-audio routing
+    opts, needs = wrap.rewrite_filter_complex(
+        [("-filter_complex", "transform360=w=64"), ("-map", "0:a")]
+    )
+    assert opts == [("-vf", "transform360=w=64"), ("-map", "1:a")]
+    assert needs is True
+
+    # no transform360 in the graph: untouched
+    orig = [("-filter_complex", "[0:v]scale=2:2[v]"), ("-map", "[v]")]
+    assert wrap.rewrite_filter_complex(list(orig)) == (orig, False)
+
+
+def test_filter_complex_unsupported_shapes_error():
+    for graph, maps in [
+        ("[0:v]split[a][b];[a]transform360=w=64[v]", [("-map", "[v]")]),
+        ("[0:v][1:v]overlay,transform360=w=64[v]", [("-map", "[v]")]),
+        ("[1:v]transform360=w=64[v]", [("-map", "[v]")]),
+        ("[0:v]transform360=w=64[v]", [("-map", "[v]"), ("-map", "0:v")]),
+    ]:
+        with pytest.raises(wrap.UsageError):
+            wrap.rewrite_filter_complex(
+                [("-filter_complex", graph), *maps]
+            )
     with pytest.raises(wrap.UsageError):
         wrap.find_transform360(
             [("-filter_complex", "[0:v]transform360=w=64[out]")]
         )
-    # parked before the -i: caught in main, not silently passed through
-    rc = wrap.main(
-        ["-filter_complex", "[0:v]transform360=w=64[o]", "-i", "a.mp4",
-         "out.mp4"]
+
+
+def test_filter_complex_build_commands_with_audio_map():
+    argv = ["-y", "-i", "in.mp4",
+            "-filter_complex", f"[0:v]transform360={VF}[v]",
+            "-map", "[v]", "-map", "0:a", "-c:a", "aac", "out.mp4"]
+    inputs, out_opts, out_path, g = wrap.tokenize(argv)
+    out_opts, needs = wrap.rewrite_filter_complex(out_opts)
+    assert needs is True
+    found = wrap.find_transform360(out_opts)
+    _, enc = wrap.build_commands(
+        inputs, out_opts, out_path, g, found, (128, 64, 30.0), (96, 64),
+        needs_src_input=True,
     )
-    assert rc == 2
+    # two inputs: the raw pipe (0) and the source (1); video mapped from
+    # the pipe, audio from the source with the user's codec
+    assert enc.count("-i") == 2
+    i0 = enc.index("-map")
+    assert enc[i0 + 1] == "0:v"
+    assert "1:a" in enc
+    assert enc[enc.index("-c:a") + 1] == "aac"
 
 
 def test_passthrough_without_transform360(monkeypatch):

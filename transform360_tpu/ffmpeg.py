@@ -30,8 +30,12 @@ Wrapper-only knobs (stripped before ffmpeg parsing, or env vars):
 ``--t360-stats`` (JSON stats line on stderr).
 
 Scope (documented, erroring loudly otherwise): one video input, one
-output file; ffmpeg options unknown to the tokenizer are assumed to take
-one value (flag-style options are special-cased in ``FLAG_OPTS``).
+output file; ``-filter_complex`` is accepted for LINEAR single-stream
+graphs (``[0:v]...,transform360=...,...[v]`` with ``-map '[v]'`` and
+optional source-audio maps — rewritten mechanically into the ``-vf``
+split); multi-chain/multi-label graphs error with a rewrite hint.
+ffmpeg options unknown to the tokenizer are assumed to take one value
+(flag-style options are special-cased in ``FLAG_OPTS``).
 """
 
 from __future__ import annotations
@@ -147,6 +151,82 @@ def _unquote(s: str) -> str:
     return re.sub(r"\\(.)", r"\1", s)
 
 
+_LBL = r"\[[^\]]+\]"
+_FC_HINT = (
+    "a linear single-stream graph works — [0:v]...,transform360=...,"
+    "...[v] with -map '[v]' is accepted and handled like -vf; anything "
+    "with multiple chains (';'), multiple input/output labels, or maps "
+    "of other video streams must be rewritten"
+)
+
+
+def rewrite_filter_complex(out_opts):
+    """Rewrite a LINEAR single-stream ``-filter_complex`` graph containing
+    transform360 into the ``-vf`` form the wrapper splits.
+
+    The reference filter runs anywhere libavfilter puts it
+    (``vf_transform360.c:1013-1023``); the wrapper covers the linear
+    single-stream case — one optional ``[0:v]``-style input label, the
+    filter chain, one optional output label whose ``-map`` is absorbed
+    (the piped video IS that stream) — and errors loudly with a rewrite
+    hint on anything it cannot split mechanically.
+
+    Returns ``(new_out_opts, needs_src_input)``: when a remaining
+    ``-map 0:a...`` selects source audio it is renumbered to input 1 and
+    ``needs_src_input`` tells the encode command to add the source file
+    as that input.
+    """
+    for idx, (k, v) in enumerate(out_opts):
+        if k == "-filter_complex" and "transform360" in (v or ""):
+            break
+    else:
+        return out_opts, False
+    graph = v.strip()
+    if ";" in graph:
+        raise UsageError(
+            "transform360 inside a multi-chain -filter_complex is not "
+            "supported; " + _FC_HINT
+        )
+    m = re.match(rf"^((?:{_LBL})*)(.*?)((?:{_LBL})*)$", graph, re.S)
+    ins = re.findall(_LBL, m.group(1))
+    outs = re.findall(_LBL, m.group(3))
+    chain = m.group(2).strip()
+    if len(ins) > 1 or len(outs) > 1:
+        raise UsageError(
+            "transform360 -filter_complex with multiple input/output "
+            "labels is not supported; " + _FC_HINT
+        )
+    if ins and ins[0] not in ("[0:v]", "[0:v:0]", "[0]", "[v:0]"):
+        raise UsageError(
+            f"-filter_complex input {ins[0]} is not the first video "
+            "stream; " + _FC_HINT
+        )
+    out_lbl = outs[0][1:-1] if outs else None
+
+    new = []
+    needs_src_input = False
+    for i, (k2, v2) in enumerate(out_opts):
+        if i == idx:
+            new.append(("-vf", chain))
+            continue
+        if k2 == "-map" and v2 is not None:
+            target = v2.strip().strip("'\"").strip("[]")
+            if out_lbl is not None and target == out_lbl:
+                continue  # the piped video IS this stream now
+            if target.startswith("0:a"):
+                # source audio: the encode command gets the source file
+                # as input 1 (input 0 is the raw video pipe)
+                new.append(("-map", "1:" + target[2:]))
+                needs_src_input = True
+                continue
+            raise UsageError(
+                f"-map {v2!r} alongside a transform360 -filter_complex "
+                "selects a stream the wrapper cannot route; " + _FC_HINT
+            )
+        new.append((k2, v2))
+    return new, needs_src_input
+
+
 def find_transform360(out_opts):
     """Locate the video-filter option and the transform360 element in it.
 
@@ -156,8 +236,8 @@ def find_transform360(out_opts):
     for idx, (k, v) in enumerate(out_opts):
         if k == "-filter_complex" and "transform360" in v:
             raise UsageError(
-                "transform360 inside -filter_complex is not supported; "
-                "use -vf / -filter:v"
+                "transform360 inside this -filter_complex is not "
+                "supported; " + _FC_HINT
             )
         if k == "-vf" or k == "-filter:v" or k.startswith("-filter:v:"):
             chain = split_filterchain(v)
@@ -265,7 +345,7 @@ def _extract_t360_opts(argv: List[str]):
 
 
 def build_commands(inputs, out_opts, out_path, globals_, found, size_rate,
-                   out_dims, pix_fmt="yuv420p"):
+                   out_dims, pix_fmt="yuv420p", needs_src_input=False):
     """Assemble the decode and encode ffmpeg argvs (pure, for tests)."""
     vf_idx, pre_chain, _, post_chain = found
     (in_opts, in_path) = inputs[0]
@@ -290,7 +370,12 @@ def build_commands(inputs, out_opts, out_path, globals_, found, size_rate,
     raw_io = ("-f", "rawvideo") in enc_opts or in_path.endswith(
         (".yuv", ".raw", ".i420")
     )
-    if (
+    if needs_src_input:
+        # a rewritten -filter_complex kept explicit source-audio maps
+        # (renumbered to input 1): provide that input and map the piped
+        # video as stream 0
+        enc += ["-i", in_path, "-map", "0:v"]
+    elif (
         not raw_io
         and "-map" not in user_keys
         and "-an" not in user_keys
@@ -311,13 +396,15 @@ def main(argv=None) -> int:
 
     try:
         inputs, out_opts, out_path, globals_ = tokenize(argv)
-        for opts, _ in inputs:  # -filter_complex parked before an -i
-            for k, v in opts:
-                if k == "-filter_complex" and "transform360" in (v or ""):
-                    raise UsageError(
-                        "transform360 inside -filter_complex is not "
-                        "supported; use -vf / -filter:v"
-                    )
+        # -filter_complex is a global option: one parked before an -i is
+        # hoisted to the output group, then rewritten like any other
+        for opts, path in inputs:
+            for item in [p for p in opts
+                         if p[0] == "-filter_complex"
+                         and "transform360" in (p[1] or "")]:
+                opts.remove(item)
+                out_opts.insert(0, item)
+        out_opts, needs_src_input = rewrite_filter_complex(out_opts)
         found = find_transform360(out_opts)
     except UsageError as e:
         print(f"error: {e}", file=sys.stderr)
@@ -364,6 +451,7 @@ def main(argv=None) -> int:
     dec_cmd, enc_cmd = build_commands(
         inputs, out_opts, out_path, globals_, found,
         (in_w, in_h, fps), (out_w, out_h), pix_fmt=fmt,
+        needs_src_input=needs_src_input,
     )
 
     from .cli import batched_outputs, start_reader
