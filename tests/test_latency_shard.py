@@ -160,12 +160,75 @@ def test_cli_latency_bands(tmp_path, rng):
                             "--latency-bands", "8"]) == 0
     assert cli_main(args + ["-o", str(tmp_path / "b.yuv"), "--batch", "3"]) == 0
     assert (tmp_path / "a.yuv").read_bytes() == (tmp_path / "b.yuv").read_bytes()
-    # excluded combinations -> usage error
+    # bands x frames grid: 2 bands per frame over 8 devices = 4 frames
+    # in flight, bytes unchanged
     assert cli_main(args + ["-o", str(tmp_path / "c.yuv"),
-                            "--latency-bands", "8", "--devices", "8"]) == 2
+                            "--latency-bands", "2", "--devices", "8"]) == 0
+    assert (tmp_path / "c.yuv").read_bytes() == (tmp_path / "b.yuv").read_bytes()
+    # still excluded -> usage error
     assert cli_main(args + ["-o", str(tmp_path / "d.yuv"),
                             "--latency-bands", "8", "--backend",
                             "native"]) == 2
+
+
+def test_banded_grid_and_band_slices(rng):
+    """The async grid form and multi-host band groups: dispatching
+    several frames to disjoint device groups before any gather, and
+    running each contiguous band group separately, both reproduce the
+    unsharded bytes."""
+    from transform360_tpu.parallel.latency import (
+        local_band_range,
+        transform_frame_banded_async,
+    )
+
+    cfg = TransformConfig(**MONO)
+    plan = build_plan(cfg, 128, 64, 48, 32)
+    frames = [make_frame(rng, 64, 128) for _ in range(3)]
+    devs = jax.devices()
+
+    # grid: 2 bands/frame, 4 device groups, 3 frames in flight at once
+    inflight = [
+        transform_frame_banded_async(
+            plan, f, devices=devs[(k % 4) * 2:][:2], n=2
+        )
+        for k, f in enumerate(frames)
+    ]
+    for f, bf in zip(frames, inflight):
+        want = transform_batch(plan, *f)
+        for g, w in zip(bf.gather(), want):
+            np.testing.assert_array_equal(g, np.asarray(w))
+
+    # multi-host layout: global bands 5, two processes with contiguous
+    # groups; vertical concat of the per-process slices == full frame
+    ranges = [local_band_range(5, p, 2) for p in range(2)]
+    assert ranges == [(0, 3), (3, 5)]
+    want = transform_batch(plan, *frames[0])
+    parts = [
+        transform_frame_banded(
+            plan, frames[0], devices=devs[:4], n=5, bands_slice=r
+        )
+        for r in ranges
+    ]
+    for j, w in enumerate(want):
+        got = np.concatenate([p[j] for p in parts], axis=0)
+        np.testing.assert_array_equal(got, np.asarray(w))
+
+    with pytest.raises(ValueError):
+        transform_frame_banded(plan, frames[0], n=5, bands_slice=(3, 9))
+    with pytest.raises(ValueError):
+        local_band_range(4, 2, 2)
+
+
+def test_broadcast_model():
+    from transform360_tpu.parallel.latency import broadcast_ms
+
+    cfg = TransformConfig(**MONO)
+    plan = build_plan(cfg, 128, 64, 48, 32)
+    one = broadcast_ms(plan, 3840, 2160, 1)
+    many = broadcast_ms(plan, 3840, 2160, 8)
+    # 4K yuv420 is ~12.4 MB; the modeled cost is host inject (+ ICI
+    # replication when sharing): sub-3ms, monotone in device count
+    assert 0.5 < one < many < 5.0
 
 
 def test_banded_round_robins_devices(rng):

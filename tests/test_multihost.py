@@ -113,3 +113,24 @@ def test_two_process_matches_single(tmp_path, mode):
         assert np.array_equal(g, w), (
             f"plane {name}: multihost output differs from single-process"
         )
+
+
+def test_two_process_banded_matches_single(tmp_path):
+    """Multi-host single-frame latency sharding: each process computes a
+    contiguous group of the global output row-bands on its own devices;
+    the slices stitched in process order are byte-identical to the
+    single-process frame."""
+    nproc = _spawn_workers(tmp_path, "banded")
+    want = _reference(B=16)
+    for name, w in zip("yuv", want):
+        parts = [
+            np.load(os.path.join(str(tmp_path), f"p{pid}_{name}.npz"))[
+                "rows"
+            ]
+            for pid in range(nproc)
+        ]
+        got = np.concatenate(parts, axis=0)
+        assert got.shape == w[0].shape
+        assert np.array_equal(got, w[0]), (
+            f"plane {name}: banded multihost slice stitch differs"
+        )

@@ -8,11 +8,16 @@ global batch indices) for the parent to assemble and compare against a
 single-process reference.
 
 argv: pid nproc coordinator outdir mode local_devices
-  mode 'local' — each process feeds only its slice of the batch
-                 (parallel.distributed.shard_batch_local);
-  mode 'full'  — every process passes the same full batch through the
-                 ordinary single-host entry (mesh.shard_batch), proving
-                 the api surface is multi-host-transparent.
+  mode 'local'  — each process feeds only its slice of the batch
+                  (parallel.distributed.shard_batch_local);
+  mode 'full'   — every process passes the same full batch through the
+                  ordinary single-host entry (mesh.shard_batch), proving
+                  the api surface is multi-host-transparent.
+  mode 'banded' — single-frame LATENCY sharding across hosts: each
+                  process runs its contiguous group of the global output
+                  row-bands (parallel.latency.local_band_range) on its
+                  own devices and dumps its row slice; the parent
+                  stitches slices in process order.
 """
 
 import os
@@ -65,6 +70,23 @@ def main() -> int:
     y = rng.integers(0, 256, (B, IN_H, IN_W), dtype=np.uint8)
     u = rng.integers(0, 256, (B, ch, cw), dtype=np.uint8)
     v = rng.integers(0, 256, (B, ch, cw), dtype=np.uint8)
+
+    if mode == "banded":
+        from transform360_tpu.parallel.latency import (
+            local_band_range,
+            transform_frame_banded,
+        )
+
+        n_bands = mesh.size
+        bslice = local_band_range(n_bands)
+        parts = transform_frame_banded(
+            plan, (y[0], u[0], v[0]), devices=jax.local_devices(),
+            n=n_bands, row_costs="auto", bands_slice=bslice,
+        )
+        for name, p in zip("yuv", parts):
+            np.savez(os.path.join(outdir, f"p{pid}_{name}.npz"), rows=p)
+        print(f"worker {pid} OK", flush=True)
+        return 0
 
     if mode == "local":
         lo, hi = pid * B // nproc, (pid + 1) * B // nproc

@@ -186,17 +186,24 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--batch", type=int, default=8, help="frames per device step")
     p.add_argument(
-        "--devices", type=int, default=1,
-        help="shard each batch over this many chips (0 = all available); "
-             "--batch must be a multiple",
+        "--devices", type=int, default=None,
+        help="batch mode: shard each batch over this many chips (0 = all "
+             "available; --batch must be a multiple; default 1). With "
+             "--latency-bands N: total local chips for the bands x frames "
+             "grid — every N chips serve one frame's bands, so D chips "
+             "keep D//N frames in flight, each at banded latency "
+             "(default: all available)",
     )
     p.add_argument(
         "--latency-bands", type=int, default=0, metavar="N",
         help="single-frame LATENCY mode: band each frame's output rows "
-             "over N devices (0 = off; -1 = all available) instead of "
-             "batching frames — for live streams where per-frame latency "
-             "matters more than throughput; implies --batch 1 and "
-             "excludes --devices/--distributed",
+             "over N devices (0 = off; -1 = one band per device) instead "
+             "of batching frames — for live streams where per-frame "
+             "latency matters more than throughput. Composes with "
+             "--devices (bands x frames grid) and --distributed (N is "
+             "the GLOBAL band count; each process runs a contiguous band "
+             "group on its own chips and writes its own output row "
+             "slice)",
     )
     p.add_argument(
         "--prefetch", type=int, default=1,
@@ -232,15 +239,13 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
-    if args.latency_bands and (
-        args.devices != 1 or args.distributed or args.backend == "native"
-    ):
-        print("error: --latency-bands excludes --devices/--distributed "
-              "and requires the JAX backend", file=sys.stderr)
+    if args.latency_bands and args.backend == "native":
+        print("error: --latency-bands requires the JAX backend",
+              file=sys.stderr)
         return 2
 
     if args.backend == "native":
-        if args.devices != 1:
+        if args.devices not in (None, 1):
             print("error: --devices requires the JAX backend",
                   file=sys.stderr)
             return 2
@@ -293,6 +298,17 @@ def main(argv=None) -> int:
               file=sys.stderr)
         return 2
 
+    if args.latency_bands and args.distributed and not is_raw_path(
+        args.output
+    ):
+        # each process emits its ROW SLICE of every frame; only raw
+        # streams can carry partial frames (stitch slices by vertical
+        # concatenation in process order)
+        print("error: --latency-bands with --distributed writes per-"
+              "process row slices; use raw output (.yuv/.raw/-)",
+              file=sys.stderr)
+        return 2
+
     if args.distributed:
         from .parallel import distributed as dist
 
@@ -308,7 +324,7 @@ def main(argv=None) -> int:
                 return 2
 
     mesh = None
-    if args.devices != 1:
+    if not args.latency_bands and args.devices not in (None, 1):
         import jax
 
         from .parallel import make_mesh
@@ -346,32 +362,71 @@ def main(argv=None) -> int:
     inq, stop = start_reader(frames_in, args.batch)
 
     def frames_out_banded():
-        """Latency mode: one frame at a time, its output rows banded
-        over the devices (parallel.latency) — no batching, no prefetch
-        pipeline; each frame's wall time IS its latency."""
+        """Latency mode: each frame's output rows banded over devices
+        (parallel.latency).  With more local devices than bands, device
+        group g serves frame k%G — up to G frames in flight, each still
+        at banded per-frame latency.  Under --distributed, this process
+        runs its contiguous group of the GLOBAL bands and yields its row
+        slice of every frame (stitch outputs by vertical concatenation
+        in process order)."""
         import jax
 
-        from .parallel.latency import transform_frame_banded
+        from .parallel.latency import (
+            local_band_range,
+            transform_frame_banded_async,
+        )
 
-        devs = jax.devices()
-        n = len(devs) if args.latency_bands < 0 else args.latency_bands
+        devs = jax.local_devices()
+        if args.devices not in (None, 0):
+            if args.devices > len(devs):
+                raise RuntimeError(
+                    f"--devices {args.devices} but only {len(devs)} "
+                    "local devices"
+                )
+            devs = devs[: args.devices]
+        n_total = (
+            len(jax.devices()) if args.latency_bands < 0
+            else args.latency_bands
+        )
+        bslice = None
+        if args.distributed:
+            bslice = local_band_range(n_total)
+            nb = bslice[1] - bslice[0]
+        else:
+            n_total = min(n_total, len(devs))
+            nb = n_total
+        n_use = min(max(nb, 1), len(devs))
+        n_groups = max(1, len(devs) // n_use)
         plan = t.plan
+        pending = deque()
+
+        def retire():
+            tb0, bf = pending.popleft()
+            outs = bf.gather()
+            stats.record(1, time.perf_counter() - tb0)
+            return outs
+
+        g = 0
         while True:
             item = inq.get()
             if item is None:
                 break
             if isinstance(item, BaseException):
                 raise item
+            group = devs[(g % n_groups) * n_use:][:n_use]
+            g += 1
             tb = time.perf_counter()
             # "auto": cost-balanced band edges from the fitted window-
             # class model — frame latency is max(band), and the
             # flagship's measured per-band imbalance is ~2x
-            outs = transform_frame_banded(
-                plan, item, devices=devs, n=min(n, len(devs)),
-                row_costs="auto",
-            )
-            stats.record(1, time.perf_counter() - tb)
-            yield outs
+            pending.append((tb, transform_frame_banded_async(
+                plan, item, devices=group, n=n_total,
+                row_costs="auto", bands_slice=bslice,
+            )))
+            if len(pending) >= n_groups:
+                yield retire()
+        while pending:
+            yield retire()
 
     def frames_out():
         return batched_outputs(

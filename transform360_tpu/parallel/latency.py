@@ -15,7 +15,22 @@ blurs the full input plane — duplicated work that bounds the speedup at
 ``(blur + remap/N) / (blur + remap)``.  Worth it exactly when latency,
 not chip-seconds, is the constraint (live streaming at batch 1).
 
-Single-process only: bands go to this process's addressable devices.
+Composition (round 4):
+
+- **bands x frames grid** (:func:`transform_frame_banded_async`): with
+  more local devices than bands, device group ``g`` serves frame
+  ``k % G`` — up to ``G = n_devices // n_bands`` frames in flight, each
+  at banded latency.  The CLI drives this when ``--devices`` exceeds
+  ``--latency-bands``.
+- **multi-host band groups** (``bands_slice``): under
+  ``jax.distributed`` each process runs a contiguous group of the
+  global bands on its own devices and holds its own row slice of the
+  output; :func:`local_band_range` places the groups.  No collectives —
+  each host decodes its own input copy (the "broadcast" is the ingest
+  fan-out) and emits its rows.
+- **input broadcast model** (:func:`broadcast_ms`): the per-frame cost
+  of replicating the input to every band device, modeled from link
+  bandwidths — the term the single-chip band projections must add.
 """
 
 from __future__ import annotations
@@ -65,18 +80,20 @@ def _slice_plane(pp: PlanePlan, y0: int, y1: int) -> PlanePlan:
 
 _BAND_CACHE: Dict[Tuple, Tuple[TransformPlan, ...]] = {}
 
-# Relative supertile costs of the batch-1 window-gather kernel, fitted on
-# chip against the measured uniform-band profile of the flagship
-# (tools/probe_latency_bands.py -> tools/fit_band_cost.py, 2026-08-19:
-# regular 96x256-window supertile ~16.8 us; wide 128x640 1.14x; an
-# XLA-fallback SUBTILE 1.93x — ~7.7x per pixel, it patches 1/4 of a
-# supertile).  Only the ratios matter for edge placement.  The polar
-# 128x1152 class (which absorbed most former fallback subtiles) is
-# provisionally extrapolated from the per-x-chunk slope R(2)->W(5)
-# applied to its 9 chunks, pending an on-chip refit.
+# Relative supertile costs of the batch-1 window-gather kernel, fitted
+# ON CHIP against the shipped CLASS_P kernel (2026-08-19, post-90edfc2):
+# the class-peel probe (tools/probe_fb_cost.py — luma classes<=k chain
+# times 17.363 / 20.283 / 23.978 ms over counts R=1240 W=136 P=160)
+# gives per-supertile costs R~14.0us, W marginal ~21.5us, P marginal
+# ~23.1us.  Only the ratios matter for edge placement; these predict the
+# measured 8-band uniform profile's imbalance (4.4-5.7 ms,
+# tools/probe_latency_bands.py) to ~2% (predicted heavy/light band ratio
+# 1.17 vs measured 1.15) where the pre-CLASS_P constants gave 1.09.
+# The fallback subtile ratio is carried from the round-3 fit; the
+# flagship plan has zero fallback subtiles since CLASS_P.
 _COST_REGULAR = 1.0
-_COST_WIDE = 1.14
-_COST_POLAR = 1.4
+_COST_WIDE = 1.54
+_COST_POLAR = 1.65
 _COST_FB_SUBTILE = 1.93
 
 
@@ -227,25 +244,66 @@ def clear_band_caches() -> None:
     _EXEC_CACHE.clear()
 
 
-def transform_frame_banded(
+class BandedFrame:
+    """In-flight banded frame: all bands dispatched, nothing gathered.
+
+    ``gather()`` blocks on the device results and stitches the output
+    planes; until then the host is free to dispatch other frames (the
+    bands x frames grid in the CLI)."""
+
+    def __init__(self, parts: List[List]):
+        self._parts = parts
+
+    def gather(self) -> Tuple[np.ndarray, ...]:
+        return tuple(
+            np.concatenate([np.asarray(o)[0] for o in outs], axis=0)
+            for outs in self._parts
+        )
+
+
+def local_band_range(
+    n_bands: int,
+    process_index: Optional[int] = None,
+    process_count: Optional[int] = None,
+) -> Tuple[int, int]:
+    """Contiguous global-band group [b0, b1) owned by this process.
+
+    Multi-host latency sharding: the global frame is banded ``n_bands``
+    ways; process ``p`` of ``P`` runs bands ``[p*n/P, (p+1)*n/P)`` on its
+    own devices and holds those output rows.  Remainder bands go to the
+    leading processes (sizes differ by at most one).
+    """
+    p = jax.process_index() if process_index is None else process_index
+    P = jax.process_count() if process_count is None else process_count
+    if not 0 <= p < P:
+        raise ValueError(f"process {p} outside [0, {P})")
+    base, rem = divmod(n_bands, P)
+    b0 = p * base + min(p, rem)
+    return b0, b0 + base + (1 if p < rem else 0)
+
+
+def transform_frame_banded_async(
     plan: TransformPlan,
     planes: Sequence,
     devices: Optional[Sequence] = None,
     n: Optional[int] = None,
     row_costs=None,
-) -> Tuple[np.ndarray, ...]:
-    """Transform ONE frame with its output rows sharded over devices.
+    bands_slice: Optional[Tuple[int, int]] = None,
+) -> BandedFrame:
+    """Dispatch ONE frame's output row-bands across devices; no blocking.
 
     ``planes``: uint8 [H, W] arrays (n_planes of them, like
-    :func:`pipeline.transform_frame_planes`).  Returns uint8 [oh, ow]
-    numpy planes, byte-identical to the unsharded transform.  All bands
-    dispatch asynchronously before any blocks, so wall latency is
-    max(band) + transfers, not the sum.
+    :func:`pipeline.transform_frame_planes`).
 
     ``row_costs``: per-row relative costs for cost-balanced band edges
     (see :func:`band_plans`); the string ``"auto"`` uses the fitted
     :func:`plan_row_costs` model (uniform bands when the model has no
     window plan to read).
+
+    ``bands_slice``: run only global bands [b0, b1) — the multi-host
+    mode, where each process owns a contiguous band group
+    (:func:`local_band_range`) and its ``gather()`` returns that row
+    slice of the frame.
     """
     if isinstance(row_costs, str):
         if row_costs != "auto":
@@ -261,6 +319,13 @@ def transform_frame_banded(
             f"{len(planes)}"
         )
     bands = band_plans(plan, n, row_costs=row_costs)
+    if bands_slice is not None:
+        b0, b1 = bands_slice
+        if not 0 <= b0 < b1 <= len(bands):
+            raise ValueError(
+                f"bands_slice {bands_slice} outside [0, {len(bands)}]"
+            )
+        bands = bands[b0:b1]
     xs = [np.asarray(p)[None] for p in planes]
 
     parts: List[List] = [[] for _ in planes]
@@ -271,7 +336,63 @@ def transform_frame_banded(
             xd = jax.device_put(x, dev)
             jfn, consts = _band_executor(pp, dev, xd)
             parts[j].append(jfn(xd, consts))
-    return tuple(
-        np.concatenate([np.asarray(o)[0] for o in outs], axis=0)
-        for outs in parts
-    )
+    return BandedFrame(parts)
+
+
+def transform_frame_banded(
+    plan: TransformPlan,
+    planes: Sequence,
+    devices: Optional[Sequence] = None,
+    n: Optional[int] = None,
+    row_costs=None,
+    bands_slice: Optional[Tuple[int, int]] = None,
+) -> Tuple[np.ndarray, ...]:
+    """Transform ONE frame with its output rows sharded over devices.
+
+    Blocking form of :func:`transform_frame_banded_async`: returns uint8
+    [oh, ow] numpy planes, byte-identical to the unsharded transform
+    (the band-group row slice when ``bands_slice`` is given).  All bands
+    dispatch asynchronously before any blocks, so wall latency is
+    max(band) + transfers, not the sum.
+    """
+    return transform_frame_banded_async(
+        plan, planes, devices, n, row_costs, bands_slice
+    ).gather()
+
+
+# Link-bandwidth model for the per-frame input broadcast (the term a
+# single-chip per-band projection must add to max(band)).  Defaults are
+# deliberately conservative v5e-class figures: host->device injection
+# ~8 GB/s effective (PCIe Gen3-era per-host NIC/DMA floor), on-slice
+# replication ~40 GB/s per ICI link (v5e 1D ring neighbor exchange;
+# jax-ml.github.io/scaling-book "rooflines").  Override per deployment.
+HOST_INJECT_GBPS = 8.0
+ICI_GBPS = 40.0
+
+
+def broadcast_ms(
+    plan: TransformPlan,
+    in_w: int,
+    in_h: int,
+    n_devices: int,
+    host_gbps: float = HOST_INJECT_GBPS,
+    ici_gbps: float = ICI_GBPS,
+) -> float:
+    """Modeled per-frame input-broadcast milliseconds to ``n_devices``.
+
+    One host injects the uint8 planes once (``bytes / host_gbps``), then
+    the slice replicates them neighbor-to-neighbor over ICI — a ring
+    broadcast moves the full payload once per hop but pipelines, so the
+    added wall time is ~``bytes / ici_gbps`` regardless of ``n``
+    (scaling-book collective model).  Multi-host ingest (every process
+    decodes its own copy) skips both terms — the fan-out happens in the
+    data plane.
+    """
+    from ..config import chroma_dims
+
+    cw, ch = chroma_dims(in_w, in_h, plan.pix_fmt)
+    nbytes = in_w * in_h + (plan.n_planes - 1) * cw * ch
+    ms = nbytes / (host_gbps * 1e6)
+    if n_devices > 1:
+        ms += nbytes / (ici_gbps * 1e6)
+    return ms
