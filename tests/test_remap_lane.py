@@ -253,6 +253,125 @@ def test_pack_pipeline_routing(rng):
         pipeline.clear_executor_cache()
 
 
+def _run_merged_case(rng, lplan, pp, k, B):
+    from transform360_tpu.ops.remap_lane import (
+        build_lane_merged,
+        remap_lane_hwb_pack,
+    )
+
+    mp = build_lane_merged(lplan, k)
+    assert mp is not None and mp.packs
+    # every tile is covered exactly once by packs + normal leftovers + fb
+    ids = np.concatenate(
+        [pc.ids.reshape(-1) for pc in mp.packs]
+        + [c.meta[0] for c in mp.normal]
+        + ([] if lplan.fb_ids is None else [lplan.fb_ids])
+    )
+    assert sorted(set(ids)) == list(range(lplan.n_tiles))
+    # rebased slot indices stay inside the merged window
+    for pc in mp.packs:
+        T = lplan.taps
+        assert pc.idx[:, 0::3].min() >= 0
+        assert pc.idx[:, 0::3].max() + T <= pc.win_h
+        assert pc.idx[:, 1::3].min() >= 0
+        assert pc.idx[:, 1::3].max() + 16 <= pc.win_w
+
+    G = 128 // k
+    assert B <= G
+    x = rng.integers(0, 256, (B, pp.in_h, pp.in_w), dtype=np.uint8)
+    want = np.asarray(remap_lane(lplan, jnp.asarray(x), interpret=True))
+    c = np.concatenate([x, np.zeros((G - B,) + x.shape[1:], np.uint8)])
+    c = np.concatenate([c] * k)
+    ct = jnp.transpose(jnp.asarray(c), (1, 2, 0))
+    got = np.asarray(remap_lane_hwb_pack(mp, ct, interpret=True))
+    assert got.shape[0] == G
+    _assert_tie_flips_balanced(got[:B], want)
+    return mp
+
+
+def test_merged_pack_matches_plain(rng):
+    """The merged-window pack kernel (K spatial neighbors per step, ONE
+    bounding-box window DMA) matches the plain lane kernel to 1 LSB for
+    every pack factor, across interpolations and border modes."""
+    cfg = TransformConfig(
+        output_layout=Layout.BARREL,              # transparent border + pad
+        interpolation_alg=Interpolation.LINEAR,
+        **MONO,
+    )
+    plan = build_plan(cfg, 128, 64, 160, 64)
+    pp = plan.luma
+    lplan = build_lane_remap(pp.spec, pp.fill)
+    _run_merged_case(rng, lplan, pp, 4, B=9)
+    cfg = TransformConfig(interpolation_alg=Interpolation.CUBIC, **MONO)
+    plan = build_plan(cfg, 128, 64, 96, 64)
+    pp = plan.luma
+    lplan = build_lane_remap(pp.spec, pp.fill)
+    _run_merged_case(rng, lplan, pp, 2, B=5)
+    _run_merged_case(rng, lplan, pp, 8, B=11)
+
+
+def test_merged_pack_larger_plane_groups_stay_local(rng):
+    """On a plane large enough for several window classes the merged plan
+    still covers (almost) every tile, its windows respect the VMEM cap,
+    and the kernel output matches the plain path."""
+    from transform360_tpu.ops.remap_lane import (
+        _WINDOW_BYTES_MAX,
+        LANES,
+    )
+
+    cfg = TransformConfig(interpolation_alg=Interpolation.CUBIC, **MONO)
+    plan = build_plan(cfg, 384, 192, 288, 192)
+    pp = plan.luma
+    lplan = build_lane_remap(pp.spec, pp.fill)
+    mp = _run_merged_case(rng, lplan, pp, 4, B=7)
+    merged = sum(pc.k * pc.n for pc in mp.packs)
+    assert merged >= 0.8 * lplan.n_tiles, "merging should cover most tiles"
+    for pc in mp.packs:
+        nbuf = 2 if pc.double_buf else 1
+        scale = nbuf + (4 if pc.unpack_f32 else 0)
+        assert scale * pc.win_h * pc.win_w * LANES <= _WINDOW_BYTES_MAX
+
+
+def test_small_batch_image_blur_routing(rng):
+    """Below BLUR_IMG_MAX_BATCH the lane path prefilters in image layout
+    (apply_blur) and must agree with the lane-layout blur pass (both are
+    exact implementations of the same separable filter; only f32
+    summation order differs)."""
+    from transform360_tpu import pipeline
+
+    cfg = TransformConfig(
+        interpolation_alg=Interpolation.CUBIC,
+        enable_low_pass_filter=True,
+        width_scale_factor=0.5,
+        height_scale_factor=0.5,
+        **MONO,
+    )
+    plan = build_plan(cfg, 256, 128, 96, 64)
+    pp = plan.luma
+    assert pp.blur is not None, "config must engage the prefilter"
+    B = 6
+    x = rng.integers(0, 256, (B, pp.in_h, pp.in_w), np.uint8)
+    old = (pipeline.LANE_MIN_BATCH, pipeline.BLUR_IMG_MAX_BATCH)
+    try:
+        pipeline.LANE_MIN_BATCH = 1
+        outs = []
+        for blur_img_max in (16, 0):
+            pipeline.BLUR_IMG_MAX_BATCH = blur_img_max
+            pipeline.clear_executor_cache()
+            prog = pipeline._plane_program(pp, use_pallas=True,
+                                           interpret=True)
+            outs.append(np.asarray(prog(jnp.asarray(x))))
+        # two DIFFERENT exact engines (the lane blur convolves y-first,
+        # the XLA blur x-first), so rounding ties may resolve with a
+        # slight systematic lean — bound the rate, not the direction
+        signed = outs[0].astype(np.int16) - outs[1].astype(np.int16)
+        assert np.abs(signed).max() <= 1
+        assert np.mean(signed != 0) < 1e-3
+    finally:
+        pipeline.LANE_MIN_BATCH, pipeline.BLUR_IMG_MAX_BATCH = old
+        pipeline.clear_executor_cache()
+
+
 def test_circular_origin_rows_matches_scalar(rng):
     """The vectorized ring-origin (sort-based) must agree with the scalar
     unique-based definition, including duplicate values and ties."""

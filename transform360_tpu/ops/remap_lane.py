@@ -39,7 +39,7 @@ parity carries over unchanged.  Reference behavior being replaced:
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -114,6 +114,34 @@ class LanePackClass:
 
 
 @dataclasses.dataclass(frozen=True)
+class LaneMergedClass:
+    """K output tiles per grid step sharing ONE merged window DMA.
+
+    The slot-pack kernel (:class:`LanePackClass`) copies K separate
+    windows per step, so its VMEM footprint grows K-fold — at K >= 4 it
+    forfeits the f32 pre-unpack (and at K = 8 the double-buffered DMA),
+    which is exactly what the round-3 measurements showed eating the
+    packing win.  Grouped tiles are spatial neighbors, so this class
+    instead DMAs the bounding box of the K tiles' windows ONCE and
+    rebases every slot's relative indices into it: one window buffer,
+    one unpack, one copy per step — and overlapping footprints (large in
+    the polar classes) are fetched once instead of K times.
+    """
+
+    k: int
+    win_h: int          # merged (bounding-box) window dims
+    win_w: int
+    n: int              # groups (grid steps)
+    double_buf: bool
+    unpack_f32: bool
+    meta: np.ndarray    # [2, n] i32: merged window y0, x0 (x0 % 8 == 0)
+    ids: np.ndarray     # [K, n] tile linear ids (host-side assembly)
+    idx: np.ndarray     # [n, 3K, TPo] i32: (ly, lxq, code) per slot,
+                        # rebased to the merged origin
+    wyb: np.ndarray     # [n, K*T + K, TPo] f32: K tap blocks, K biases
+
+
+@dataclasses.dataclass(frozen=True)
 class LanePackPlan:
     """Pack-K execution plan derived from a :class:`LaneRemapPlan`.
 
@@ -125,7 +153,7 @@ class LanePackPlan:
 
     base: "LaneRemapPlan"
     k: int
-    packs: Tuple[LanePackClass, ...]
+    packs: Tuple[object, ...]   # LanePackClass and/or LaneMergedClass
     normal: Tuple[LaneClass, ...]
     perm: np.ndarray    # [n_tiles] i32 entry index
     n_pack_entries: int
@@ -571,6 +599,270 @@ def build_lane_pack(
     )
 
 
+# merged-window bounding-box height candidates (widths reuse _WW_CAND);
+# taller than the per-tile rungs because a 4x2 tile block's vertical span
+# is ~4 tile strides plus taps
+_MH_CAND = (16, 24, 32, 48, 64, 80, 96, 128, 160, 192, 224, 256)
+_MERGE_MIN_GROUPS = 8
+
+
+def _merged_choice(T: int, k: int, wh: int, ww: int):
+    """(nbuf, unpack_f32) for ONE merged window of (wh, ww), or None.
+
+    Unlike :func:`_pack_choice` there is a single window buffer for all K
+    slots, so the VMEM terms do not scale with K — that is the point of
+    merging.  The unpack-reuse gate scales with K (K tiles' footprints
+    touch the shared window).
+    """
+    wbytes = wh * ww * LANES
+    want_unpack = T >= 4 and 5 * wh * ww <= 2 * k * TPo * T * XW
+    if want_unpack:
+        for nbuf in (2, 1):
+            if nbuf == 2 and wbytes > _DOUBLE_BUF_BYTES:
+                continue
+            if (nbuf + 4) * wbytes <= _WINDOW_BYTES_MAX:
+                return nbuf, True
+    for nbuf in (2, 1):
+        if nbuf == 2 and wbytes > _DOUBLE_BUF_BYTES:
+            continue
+        if nbuf * wbytes <= _WINDOW_BYTES_MAX:
+            return nbuf, False
+    return None
+
+
+def build_lane_merged(
+    plan: Optional[LaneRemapPlan], k: int
+) -> Optional[LanePackPlan]:
+    """Merged-window pack plan: K spatially-adjacent tiles per grid step.
+
+    Tiles are grouped by (gh, gw) blocks of the output tile grid
+    (gh * gw = K; the shape minimizing total merged-window bytes wins) and
+    each group's windows are replaced by ONE bounding box, snapped to a
+    small candidate ladder so groups cluster into few kernel compiles.
+    Groups whose bounding box exceeds the VMEM window budget (e.g. blocks
+    straddling cubemap face seams, whose input footprints are disjoint)
+    fall back to the plain per-tile kernel via ``normal``.
+
+    Returns None when nothing merges (tiny planes, all-fallback plans).
+    """
+    if plan is None or not plan.classes:
+        return None
+    assert k in (2, 4, 8) and LANES % k == 0, k
+    T = plan.taps
+    n_ty, n_tx = plan.out_hp // TH, plan.out_wp // TW
+
+    # per-tile absolute footprint bounds + (class, slot) locator
+    loc: Dict[int, Tuple[int, int, int, int, int, int]] = {}
+    for ci, cls in enumerate(plan.classes):
+        ly_min = cls.idx[:, 0, :].min(axis=1)
+        ly_max = cls.idx[:, 0, :].max(axis=1)
+        lx_min = cls.idx[:, 1, :].min(axis=1)
+        lx_max = cls.idx[:, 1, :].max(axis=1)
+        for j in range(cls.n):
+            tid = int(cls.meta[0, j])
+            y0, x0 = int(cls.meta[1, j]), int(cls.meta[2, j])
+            loc[tid] = (
+                ci,
+                j,
+                y0 + int(ly_min[j]),
+                y0 + int(ly_max[j]) + T,
+                x0 + int(lx_min[j]),
+                x0 + int(lx_max[j]) + XW,
+            )
+    if not loc:
+        return None
+
+    cap_area = _WINDOW_BYTES_MAX // LANES
+
+    def enum_groups(gh: int, gw: int):
+        """[(members, bbox)] per (gh, gw) block of the tile grid; members
+        are tile ids (fallback tiles simply absent), bbox=(y0,y1,x0,x1)
+        with x0 aligned down to 8 and width rounded up to 8."""
+        groups = []
+        for bi in range(0, n_ty, gh):
+            for bj in range(0, n_tx, gw):
+                members = [
+                    ti * n_tx + tj
+                    for ti in range(bi, min(bi + gh, n_ty))
+                    for tj in range(bj, min(bj + gw, n_tx))
+                    if ti * n_tx + tj in loc
+                ]
+                if not members:
+                    continue
+                b = np.array([loc[t][2:] for t in members])
+                y0, y1 = int(b[:, 0].min()), int(b[:, 1].max())
+                x0 = (int(b[:, 2].min()) // 8) * 8
+                x1 = x0 + -(-(int(b[:, 3].max()) - x0) // 8) * 8
+                groups.append((members, (y0, y1, x0, x1)))
+        return groups
+
+    shapes = [
+        (gh, k // gh)
+        for gh in (1, 2, 4, 8)
+        if gh <= k and k % gh == 0 and k // gh <= n_tx and gh <= n_ty
+    ]
+    if not shapes:
+        return None
+
+    def score(groups):
+        s = 0
+        for members, (y0, y1, x0, x1) in groups:
+            a = (y1 - y0) * (x1 - x0)
+            if a <= cap_area and len(members) >= 2:
+                s += a
+            else:
+                # stays on the plain per-tile kernel: pays its windows
+                # again and loses the shared epilogue
+                for t in members:
+                    _, _, ty0, ty1, tx0, tx1 = loc[t]
+                    s += 2 * (ty1 - ty0) * (tx1 - tx0)
+        return s
+
+    by_shape = {sh: enum_groups(*sh) for sh in shapes}
+    best_shape = min(shapes, key=lambda sh: score(by_shape[sh]))
+    groups = by_shape[best_shape]
+
+    # snap each viable group to the candidate ladder and cluster
+    def snap(bh: int, bw: int):
+        hs = [h for h in _MH_CAND if h >= bh and h <= plan.hp]
+        ws = [w for w in _WW_CAND if w >= bw and w <= plan.wp]
+        if bh <= plan.hp and not hs:
+            hs = [min(((bh + 7) // 8) * 8, plan.hp)]
+        if bw <= plan.wp and not ws:
+            ws = [min(((bw + 7) // 8) * 8, plan.wp)]
+        if not hs or not ws:
+            return None
+        sh, sw = hs[0], ws[0]
+        if sh * sw > cap_area or _merged_choice(T, k, sh, sw) is None:
+            return None
+        return sh, sw
+
+    clusters: Dict[Tuple[int, int], list] = {}
+    leftover: Dict[int, List[int]] = {}
+
+    def demote(members):
+        for t in members:
+            ci, j = loc[t][0], loc[t][1]
+            leftover.setdefault(ci, []).append(j)
+
+    for members, (y0, y1, x0, x1) in groups:
+        dims = snap(y1 - y0, x1 - x0) if len(members) >= 2 else None
+        if dims is None:
+            demote(members)
+        else:
+            clusters.setdefault(dims, []).append((members, y0, x0))
+
+    # fold sparsely-populated clusters upward (each cluster is a separate
+    # Mosaic compile): merge a small cluster with the neighbor whose joint
+    # cover (elementwise max dims) is cheapest and still feasible; a
+    # cluster with no feasible partner simply stays small
+    changed = True
+    while changed and len(clusters) > 1:
+        changed = False
+        for dims in sorted(
+            clusters, key=lambda d: (len(clusters[d]), d[0] * d[1])
+        ):
+            if len(clusters[dims]) >= _MERGE_MIN_GROUPS:
+                continue
+            best = None
+            for d in clusters:
+                if d == dims:
+                    continue
+                h, w = max(d[0], dims[0]), max(d[1], dims[1])
+                if (
+                    h * w > cap_area
+                    or h > plan.hp
+                    or w > plan.wp
+                    or _merged_choice(T, k, h, w) is None
+                ):
+                    continue
+                if best is None or h * w < best[0]:
+                    best = (h * w, d, (h, w))
+            if best is None:
+                continue
+            _, d, tgt = best
+            moved = clusters.pop(dims) + clusters.pop(d)
+            clusters[tgt] = clusters.get(tgt, []) + moved
+            changed = True
+            break
+
+    packs: List[LaneMergedClass] = []
+    for (sh, sw), glist in sorted(clusters.items()):
+        choice = _merged_choice(T, k, sh, sw)
+        if choice is None:
+            for members, _, _ in glist:
+                demote(members)
+            continue
+        nbuf, unpack = choice
+        n = len(glist)
+        meta = np.zeros((2, n), np.int32)
+        ids = np.zeros((k, n), np.int64)
+        idx = np.zeros((n, 3 * k, TPo), np.int32)
+        wyb = np.zeros((n, k * T + k, TPo), np.float32)
+        for g, (members, gy0, gx0) in enumerate(glist):
+            my0 = min(max(gy0, 0), plan.hp - sh)
+            mx0 = min(gx0, plan.wp - sw)
+            assert mx0 >= 0 and mx0 % 8 == 0, (mx0, sw, plan.wp)
+            meta[:, g] = (my0, mx0)
+            slots = [members[min(h, len(members) - 1)] for h in range(k)]
+            for h, t in enumerate(slots):
+                ci, j = loc[t][0], loc[t][1]
+                cls = plan.classes[ci]
+                y0, x0 = int(cls.meta[1, j]), int(cls.meta[2, j])
+                ids[h, g] = t
+                idx[g, 3 * h] = cls.idx[j, 0] + (y0 - my0)
+                idx[g, 3 * h + 1] = cls.idx[j, 1] + (x0 - mx0)
+                idx[g, 3 * h + 2] = cls.idx[j, 2]
+                wyb[g, h * T : (h + 1) * T] = cls.wyb[j, :T]
+                wyb[g, k * T + h] = cls.wyb[j, T]
+            assert idx[g, 0::3].min() >= 0 and idx[g, 1::3].min() >= 0
+            assert idx[g, 0::3].max() + T <= sh
+            assert idx[g, 1::3].max() + XW <= sw
+        packs.append(
+            LaneMergedClass(
+                k=k,
+                win_h=sh,
+                win_w=sw,
+                n=n,
+                double_buf=nbuf == 2,
+                unpack_f32=unpack,
+                meta=meta,
+                ids=ids,
+                idx=idx,
+                wyb=wyb,
+            )
+        )
+    if not packs:
+        return None
+
+    normal = [
+        dataclasses.replace(
+            plan.classes[ci],
+            n=len(js),
+            meta=plan.classes[ci].meta[:, sorted(js)],
+            idx=plan.classes[ci].idx[sorted(js)],
+            wyb=plan.classes[ci].wyb[sorted(js)],
+        )
+        for ci, js in sorted(leftover.items())
+    ]
+
+    n_pack_entries = sum(pc.k * pc.n for pc in packs)
+    perm = np.arange(plan.n_tiles, dtype=np.int64) + n_pack_entries
+    off = 0
+    for pc in packs:
+        for h in range(pc.k):
+            perm[pc.ids[h]] = off + h * pc.n + np.arange(pc.n)
+        off += pc.k * pc.n
+    return LanePackPlan(
+        base=plan,
+        k=k,
+        packs=tuple(packs),
+        normal=tuple(normal),
+        perm=perm.astype(np.int32),
+        n_pack_entries=n_pack_entries,
+    )
+
+
 def pad_plane_lane(plan: LaneRemapPlan, x: jnp.ndarray) -> jnp.ndarray:
     """uint8 [B, H, W] -> padded uint8 [B, hp, wp] (wrap or replicate)."""
     py = plan.pad_y
@@ -971,6 +1263,157 @@ def _run_pack_class(plan: LaneRemapPlan, pc: LanePackClass, padded,
       padded)
 
 
+def _make_merged_kernel(plan: LaneRemapPlan, mc: LaneMergedClass):
+    T = plan.taps
+    k = mc.k
+    G = LANES // k
+    wh, ww = mc.win_h, mc.win_w
+    n = mc.n
+    nbuf = 2 if mc.double_buf else 1
+    chunks = _dma_chunks(wh)
+
+    def kernel(meta_ref, idx_ref, wyb_ref, wt_ref, src_ref, out_ref,
+               win, sems, wf32=None):
+        i = pl.program_id(0)
+
+        def dmas(slot, t):
+            y0 = meta_ref[0, t]
+            x0 = pl.multiple_of(meta_ref[1, t], 8)
+            return [
+                pltpu.make_async_copy(
+                    src_ref.at[pl.ds(y0 + cy, rows), pl.ds(x0, ww), :],
+                    win.at[slot, pl.ds(cy, rows)],
+                    sems.at[slot, s],
+                )
+                for s, (cy, rows) in enumerate(chunks)
+            ]
+
+        if nbuf == 2:
+            @pl.when(i == 0)
+            def _():
+                for c in dmas(0, 0):
+                    c.start()
+
+            @pl.when(i + 1 < n)
+            def _():
+                for c in dmas((i + 1) % 2, i + 1):
+                    c.start()
+
+            slot = i % 2
+            for c in dmas(slot, i):
+                c.wait()
+        else:
+            slot = 0
+            for c in dmas(0, i):
+                c.start()
+            for c in dmas(0, i):
+                c.wait()
+
+        if wf32 is not None:
+            # ONE whole-window unpack serves all K slots — the VMEM term
+            # that forfeited the f32 body at K >= 4 in the slot-pack
+            # kernel does not scale with K here
+            if nbuf == 1:
+                wf32[...] = win[0].astype(jnp.int32).astype(jnp.float32)
+            else:
+                for sl in range(nbuf):
+                    @pl.when(slot == sl)
+                    def _(sl=sl):
+                        wf32[...] = (
+                            win[sl].astype(jnp.int32).astype(jnp.float32)
+                        )
+
+        lane16 = jax.lax.broadcasted_iota(jnp.int32, (1, XW, LANES), 2)
+        laneb = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+
+        def body(o, carry):
+            rows = []
+            for s in range(TH):
+                px = o * TH + s
+                accs, wvs = [], []
+                for h in range(k):
+                    ly = idx_ref[0, 3 * h, px]
+                    lxq = pl.multiple_of(idx_ref[0, 3 * h + 1, px], 8)
+                    if wf32 is not None:
+                        vf = wf32[pl.ds(ly, T), pl.ds(lxq, XW), :]
+                    else:
+                        v = win[slot, pl.ds(ly, T), pl.ds(lxq, XW), :]
+                        vf = v.astype(jnp.int32).astype(jnp.float32)
+                    a = None
+                    for t in range(T):
+                        term = wyb_ref[0, h * T + t, px] * vf[t : t + 1]
+                        a = term if a is None else a + term
+                    accs.append(a)
+                    wvs.append(
+                        wt_ref[pl.ds(idx_ref[0, 3 * h + 2, px], 1), :, :]
+                    )
+                acc16, wv = accs[0], wvs[0]
+                bias = wyb_ref[0, k * T, px]
+                for h in range(1, k):
+                    m = lane16 >= h * G
+                    acc16 = jnp.where(m, accs[h], acc16)
+                    wv = jnp.where(m, wvs[h], wv)
+                    bias = jnp.where(
+                        laneb >= h * G, wyb_ref[0, k * T + h, px], bias
+                    )
+                xa = jnp.sum(acc16 * wv, axis=1)
+                rows.append(xa + bias)
+            blk = jnp.concatenate(rows, axis=0)
+            blk = jnp.clip(jnp.floor(blk + 0.5), 0.0, 255.0)
+            out_ref[0, pl.ds(o, 1), :, :] = (
+                blk.astype(jnp.int32).astype(jnp.uint8)[None]
+            )
+            return carry
+
+        jax.lax.fori_loop(0, TPo // TH, body, 0)
+
+    return kernel
+
+
+def _run_merged_class(plan: LaneRemapPlan, mc: LaneMergedClass, padded,
+                      interpret):
+    """padded: uint8 [hp, wp, LANES] (lane groups duplicate group 0);
+    out: uint8 [n_groups, TW, TH, LANES] — slot h's tile in lane group h."""
+    T = plan.taps
+    k = mc.k
+    nbuf = 2 if mc.double_buf else 1
+    scratch = [
+        pltpu.VMEM((nbuf, mc.win_h, mc.win_w, LANES), jnp.uint8),
+        pltpu.SemaphoreType.DMA((nbuf, len(_dma_chunks(mc.win_h)))),
+    ]
+    if mc.unpack_f32:
+        scratch.append(
+            pltpu.VMEM((mc.win_h, mc.win_w, LANES), jnp.float32)
+        )
+    gs = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(mc.n,),
+        in_specs=[
+            pl.BlockSpec((1, 3 * k, TPo), lambda i, m: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, k * T + k, TPo), lambda i, m: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((256, XW, 1), lambda i, m: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, TW, TH, LANES),
+            lambda i, m: (i, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=scratch,
+    )
+    return pl.pallas_call(
+        _make_merged_kernel(plan, mc),
+        grid_spec=gs,
+        out_shape=jax.ShapeDtypeStruct((mc.n, TW, TH, LANES), jnp.uint8),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(staged(mc.meta), staged(mc.idx), staged(mc.wyb), staged(plan.wt),
+      padded)
+
+
 def _remap_core_pack(pp: LanePackPlan, padded, interpret) -> jnp.ndarray:
     """padded [hp, wp, 128] with lane groups duplicating group 0 ->
     output [out_h, out_w, 128/K] (lane layout, 1/K occupancy)."""
@@ -978,7 +1421,10 @@ def _remap_core_pack(pp: LanePackPlan, padded, interpret) -> jnp.ndarray:
     G = LANES // pp.k
     entries = []
     for pc in pp.packs:
-        o = _run_pack_class(plan, pc, padded, interpret)
+        if isinstance(pc, LaneMergedClass):
+            o = _run_merged_class(plan, pc, padded, interpret)
+        else:
+            o = _run_pack_class(plan, pc, padded, interpret)
         # a class may pack at a lower factor than requested (G_c >= G);
         # its group starts are multiples of G, and every G-lane run of
         # the duplicated input holds the same frames, so truncating each

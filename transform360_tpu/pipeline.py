@@ -39,6 +39,7 @@ import numpy as np
 from .filtering import apply_blur
 from .ops.blur_lane import blur_lane, build_blur_lane
 from .ops.remap_lane import (
+    build_lane_merged,
     build_lane_pack,
     build_lane_remap,
     remap_lane,
@@ -90,6 +91,24 @@ LANE_PACK_MAX = int(
     )
 )
 
+# Below this batch size the prefilter runs in IMAGE layout (apply_blur on
+# [B, H, W], W in the vector lanes — full lane occupancy) instead of the
+# lane-layout blur pass, whose cost is occupancy-independent (~33 ms
+# luma+chroma per pass regardless of how many of the 128 lanes are real;
+# the XLA blur is HBM-bound at ~0.75 ms/frame, so it wins below ~2 dozen
+# frames).  Crossover measured by tools/probe_small_batch.py.
+BLUR_IMG_MAX_BATCH = int(
+    os.environ.get("TRANSFORM360_BLUR_IMG_MAX_BATCH", "16")
+)
+
+# Merged-window packing: group K spatially-adjacent tiles and DMA ONE
+# bounding-box window per group instead of K windows, so the f32
+# pre-unpack and double-buffering survive at K >= 4 (the VMEM forfeits
+# that capped slot-packing at K=2 — NOTES.md "Pack-K").  Falls back to
+# slot-packing per plane when nothing merges.
+# Env: TRANSFORM360_LANE_MERGED=0 disables.
+LANE_MERGED = os.environ.get("TRANSFORM360_LANE_MERGED", "1") != "0"
+
 _LANE_CACHE: Dict[str, object] = {}
 _LANE_MISS = object()
 
@@ -114,10 +133,12 @@ def _blur_lane_plan(pp: PlanePlan):
 
 
 def _lane_pack_plan(pp: PlanePlan, k: int):
-    key = ("pack", k, pp.key)
+    key = ("pack", k, LANE_MERGED, pp.key)
     lp = _LANE_CACHE.get(key, _LANE_MISS)
     if lp is _LANE_MISS:
-        lp = build_lane_pack(_lane_plan(pp), k)
+        lp = build_lane_merged(_lane_plan(pp), k) if LANE_MERGED else None
+        if lp is None:
+            lp = build_lane_pack(_lane_plan(pp), k)
         _LANE_CACHE[key] = lp
     return lp
 
@@ -147,8 +168,13 @@ def _lane_chunked(pp: PlanePlan, lane, x, interpret):
     into [H, W, 128] per 128-frame chunk, blur (when the lane blur covers
     the config) and remap both batch-in-lanes, transpose back."""
     bl = _blur_lane_plan(pp) if pp.blur is not None else None
+    if bl is not None and x.shape[0] <= BLUR_IMG_MAX_BATCH:
+        # low occupancy: the image-layout XLA blur (full lanes) beats the
+        # occupancy-independent lane-layout pass
+        bl = None
     if pp.blur is not None and bl is None:
-        # prefilter config outside the lane blur's scope: XLA blur first
+        # prefilter config outside the lane blur's scope (or a small
+        # batch): XLA blur first
         x = _round_u8(apply_blur(pp.blur, x.astype(jnp.float32)))
     fix = _fixup(pp)
     B = x.shape[0]
@@ -289,7 +315,8 @@ class _StagedExecutor:
         chain it).  LANE_MIN_BATCH is part of the key: the batch-routing
         decision is baked in at trace time, so tools that flip it (e.g.
         psnr_check's dual-path sweep) must not reuse stale traces."""
-        key = (tuple(x.shape), x.dtype, LANE_MIN_BATCH, LANE_PACK_MAX)
+        key = (tuple(x.shape), x.dtype, LANE_MIN_BATCH, LANE_PACK_MAX,
+               LANE_MERGED, BLUR_IMG_MAX_BATCH)
         ent = self._by_shape.get(key)
         if ent is None:
             fn, consts = stage_program(
@@ -309,7 +336,8 @@ def plane_executor(pp: PlanePlan) -> Callable:
     the batch-routing threshold, which the program bakes in at trace
     time)."""
     use_pallas = _use_pallas(pp)
-    key = (pp.key, use_pallas, LANE_MIN_BATCH, LANE_PACK_MAX)
+    key = (pp.key, use_pallas, LANE_MIN_BATCH, LANE_PACK_MAX, LANE_MERGED,
+           BLUR_IMG_MAX_BATCH)
     fn = _EXEC_CACHE.get(key)
     if fn is None:
         fn = _StagedExecutor(_plane_program(pp, use_pallas))
