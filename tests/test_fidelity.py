@@ -93,3 +93,48 @@ def test_gate_red_on_injected_window_kernel_bug(monkeypatch):
     assert broken["worst_db"] < 50.0, (
         f"injected window-kernel bug not detected: {broken}"
     )
+
+
+def test_gate_red_on_injected_merged_pack_bug(monkeypatch):
+    """A bug confined to the merged-window pack kernel (the default
+    low-occupancy lane path) must flip the gate red.  Routing is forced
+    onto the lane path at the gate's small batch and the Pallas kernels
+    run in interpret mode (exact kernel body) on this CPU box."""
+    from transform360_tpu.ops import remap_lane as rl
+
+    kw = dict(in_wh=(512, 256), out_wh=(192, 128), batch=2)
+
+    monkeypatch.setattr(pipeline, "_use_pallas", lambda pp: True)
+    monkeypatch.setattr(pipeline, "LANE_MIN_BATCH", 1)
+    real_prog = pipeline._plane_program
+
+    def interpreted(pp, use_pallas, interpret=False):
+        return real_prog(pp, use_pallas, interpret=True)
+
+    monkeypatch.setattr(pipeline, "_plane_program", interpreted)
+
+    _reset_caches()
+    healthy = bench_fidelity(**kw)
+    assert healthy["worst_db"] >= 50.0, healthy
+
+    # inject: scale one merged class's y-tap/bias block by 2% — plan data
+    # that ONLY the merged-window kernel reads
+    real_build = rl.build_lane_merged
+
+    def buggy(plan, k):
+        mp = real_build(plan, k)
+        if mp is None or not mp.packs:
+            return mp
+        p0 = dataclasses.replace(mp.packs[0], wyb=mp.packs[0].wyb * 1.02)
+        return dataclasses.replace(mp, packs=(p0,) + mp.packs[1:])
+
+    monkeypatch.setattr(rl, "build_lane_merged", buggy)
+    monkeypatch.setattr(pipeline, "build_lane_merged", buggy)
+    _reset_caches()
+    try:
+        broken = bench_fidelity(**kw)
+    finally:
+        _reset_caches()
+    assert broken["worst_db"] < 50.0, (
+        f"injected merged-pack bug not detected: {broken}"
+    )
