@@ -138,3 +138,34 @@ def test_filter_complex_linear_real_ffmpeg(tmp_path):
         outs.append(_decode_planes(dst, 192, 128, "yuv420p"))
     for a, b in zip(*outs):
         assert np.array_equal(a, b)
+
+
+def test_filter_complex_multichain_real_ffmpeg(tmp_path):
+    """A multi-chain graph — upstream scale chain, downstream hflip chain
+    — splits at the transform and matches the equivalent -vf pipeline."""
+    src = str(tmp_path / "in.mkv")
+    _synthesize(src)
+    vf_dst = str(tmp_path / "vf.nut")
+    r = _wrapper(
+        ["-y", "-i", src,
+         "-vf", f"scale=256:128,transform360={VF},hflip",
+         "-c:v", "rawvideo", vf_dst],
+        cwd=str(tmp_path),
+    )
+    assert r.returncode == 0, r.stderr
+
+    fc_dst = str(tmp_path / "fc.nut")
+    r = _wrapper(
+        ["-y", "-i", src,
+         "-filter_complex",
+         f"[0:v]scale=256:128[s];[s]transform360={VF}[t];[t]hflip[v]",
+         "-map", "[v]", "-c:v", "rawvideo", fc_dst],
+        cwd=str(tmp_path),
+    )
+    assert r.returncode == 0, r.stderr
+
+    for a, b in zip(
+        _decode_planes(vf_dst, 192, 128, "yuv420p"),
+        _decode_planes(fc_dst, 192, 128, "yuv420p"),
+    ):
+        assert np.array_equal(a, b)

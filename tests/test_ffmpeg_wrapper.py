@@ -195,6 +195,111 @@ def test_filter_complex_unsupported_shapes_error():
         )
 
 
+def test_complex_split_upstream_chain():
+    """A producer chain before transform360 runs in the decode command;
+    the transform output label is re-created on the pipe for the maps."""
+    cs = wrap.split_complex_graph(
+        [("-filter_complex",
+          "[0:v]scale=1920:960[s];[s]transform360=w=64[v]"),
+         ("-map", "[v]"), ("-map", "0:a"), ("-c:a", "aac")]
+    )
+    assert cs.dec_fc == "[0:v]scale=1920:960[s]"
+    assert cs.dec_map == "[s]"
+    assert cs.enc_fc == "[0:v]null[v]"
+    assert cs.t360_opts == "w=64"
+    assert cs.needs_src_inputs is True  # the renumbered audio map
+    assert cs.out_opts == [
+        ("-map", "[v]"), ("-map", "1:a"), ("-c:a", "aac")
+    ]
+
+
+def test_complex_split_downstream_overlay_renumbers_inputs():
+    """A second input consumed after the transform shifts one slot up on
+    the encode side (the raw pipe takes input 0)."""
+    cs = wrap.split_complex_graph(
+        [("-filter_complex",
+          "[0:v]transform360=w=64[t];[t][1:v]overlay=10:10[v]"),
+         ("-map", "[v]")]
+    )
+    assert cs.dec_fc is None and cs.dec_map == "0:v"
+    assert cs.enc_fc == "[0:v]null[t];[t][2:v]overlay=10:10[v]"
+    assert cs.needs_src_inputs is True
+    assert cs.out_opts == [("-map", "[v]")]
+
+    inputs = [([], "in.mp4"), ([], "logo.png")]
+    dec, enc = wrap.build_commands_complex(
+        inputs, cs, "out.mp4", ["-y"], (128, 64, 30.0), (96, 64)
+    )
+    assert dec[dec.index("-map") + 1] == "0:v"
+    # encode: pipe + both source files, in order
+    i_args = [enc[i + 1] for i, a in enumerate(enc) if a == "-i"]
+    assert i_args == ["-", "in.mp4", "logo.png"]
+    assert enc[enc.index("-filter_complex") + 1] == cs.enc_fc
+
+
+def test_complex_split_pre_post_and_audio_chain():
+    """Filters inside the transform chain split around it; an audio chain
+    is downstream work with its source stream renumbered."""
+    cs = wrap.split_complex_graph(
+        [("-filter_complex",
+          "[1:v]hflip[x];[x]scale=100:50,transform360=w=64,hflip[t];"
+          "[t]drawtext=text=hi[v];[0:a]volume=2[a]"),
+         ("-map", "[v]"), ("-map", "[a]")]
+    )
+    assert cs.dec_fc == "[1:v]hflip[x];[x]scale=100:50[__t360in]"
+    assert cs.dec_map == "[__t360in]"
+    assert cs.enc_fc == (
+        "[0:v]hflip[t];[t]drawtext=text=hi[v];[1:a]volume=2[a]"
+    )
+    assert cs.needs_src_inputs is True
+    assert cs.out_opts == [("-map", "[v]"), ("-map", "[a]")]
+
+
+def test_complex_split_unlabeled_tail_gets_default_mapping():
+    """No output label and no downstream chains: the encode side is just
+    the pipe, with the default audio carry."""
+    cs = wrap.split_complex_graph(
+        [("-filter_complex", "[0:v]scale=128:64[s];[s]transform360=w=64")]
+    )
+    assert cs.enc_fc is None and cs.needs_src_inputs is False
+    dec, enc = wrap.build_commands_complex(
+        [([], "in.mp4")], cs, "out.mp4", [], (128, 64, 30.0), (96, 64)
+    )
+    assert enc[enc.index("-map") + 1] == "0:v"
+    assert "1:a?" in enc and "copy" in enc
+
+
+def test_complex_split_rejects_second_crossing_link():
+    """A split whose branches land on both sides of the transform cut
+    cannot be piped through one raw stream."""
+    for graph, maps in [
+        # [b] produced upstream, consumed downstream
+        ("[0:v]split[a][b];[a]transform360=w=64[t];[t][b]overlay[v]",
+         [("-map", "[v]")]),
+        # upstream chain output never consumed before the transform
+        ("[0:v]split[a][b];[a]transform360=w=64[v]", [("-map", "[v]")]),
+        # map of a decode-side label
+        ("[0:v]hflip[x];[x]transform360=w=64[v]",
+         [("-map", "[v]"), ("-map", "[x]")]),
+        # two transforms
+        ("[0:v]transform360=w=64[a];[a]transform360=w=64[v]",
+         [("-map", "[v]")]),
+        # cycle through the transform chain
+        ("[t]hflip[x];[x]transform360=w=64[t]", [("-map", "[t]")]),
+        # no input label in a multi-chain graph
+        ("transform360=w=64[t];[t][1:v]overlay[v]", [("-map", "[v]")]),
+    ]:
+        with pytest.raises(wrap.UsageError):
+            wrap.split_complex_graph([("-filter_complex", graph), *maps])
+    # no transform360 or no ';': not this splitter's business
+    assert wrap.split_complex_graph(
+        [("-filter_complex", "[0:v]scale=2:2[a];[a]hflip[v]")]
+    ) is None
+    assert wrap.split_complex_graph(
+        [("-filter_complex", "[0:v]transform360=w=64[v]")]
+    ) is None
+
+
 def test_filter_complex_build_commands_with_audio_map():
     argv = ["-y", "-i", "in.mp4",
             "-filter_complex", f"[0:v]transform360={VF}[v]",
@@ -292,3 +397,64 @@ def test_wrapper_end_to_end_fake_pipes(pix_fmt, rng, monkeypatch, capsys):
     )
     assert sink.getvalue() == want
     assert '"frames": 5' in capsys.readouterr().err
+
+
+def test_wrapper_end_to_end_multichain_fake_pipes(rng, monkeypatch):
+    """Full wrapper run through the MULTI-chain -filter_complex path: the
+    transform stream is cut out of the graph, piped through the real TPU
+    pipeline, and the downstream overlay chain lands in the encode
+    command with its source labels renumbered for the pipe at input 0."""
+    from transform360_tpu import open_filter
+    from transform360_tpu.config import chroma_dims
+    from transform360_tpu.utils import video
+
+    w, h, n = 128, 64, 4
+    cw, ch = chroma_dims(w, h)
+    y = rng.integers(0, 256, (n, h, w), dtype=np.uint8)
+    u = rng.integers(0, 256, (n, ch, cw), dtype=np.uint8)
+    v = rng.integers(0, 256, (n, ch, cw), dtype=np.uint8)
+    raw = b"".join(
+        p.tobytes() for k in range(n) for p in (y[k], u[k], v[k])
+    )
+
+    sink = _Sink()
+    spawned = []
+
+    def fake_popen(cmd, stdout=None, stdin=None):
+        spawned.append(cmd)
+        if stdout is not None:
+            return _FakeProc(stdout=io.BytesIO(raw))
+        return _FakeProc(stdin=sink)
+
+    monkeypatch.setattr(wrap.subprocess, "Popen", fake_popen)
+    monkeypatch.setattr(video, "have_ffmpeg", lambda: True)
+    monkeypatch.setattr(
+        video, "_probe_ffmpeg", lambda path: (w, h, 30.0, "yuv420p")
+    )
+
+    rc = wrap.main(
+        ["-y", "-i", "in.mp4", "-i", "logo.png",
+         "-filter_complex",
+         f"[0:v]transform360={VF}[t];[t][1:v]overlay=0:0[v]",
+         "-map", "[v]", "-c:v", "libx264", "out.mp4"]
+    )
+    assert rc == 0
+    assert len(spawned) == 2
+    dec, enc = spawned
+    assert dec[dec.index("-map") + 1] == "0:v"
+    # encode side: pipe + both sources, graph renumbered for the pipe
+    i_args = [enc[i + 1] for i, a in enumerate(enc) if a == "-i"]
+    assert i_args == ["-", "in.mp4", "logo.png"]
+    assert enc[enc.index("-filter_complex") + 1] == (
+        f"[0:v]null[t];[t][2:v]overlay=0:0[v]"
+    )
+    assert enc[enc.index("-map", enc.index("-filter_complex")) + 1] == "[v]"
+
+    # the piped payload is exactly the direct-API transform
+    ey, eu, ev = open_filter(VF, w, h).transform(y, u, v)
+    want = b"".join(
+        np.asarray(p).tobytes()
+        for k in range(n)
+        for p in (ey[k], eu[k], ev[k])
+    )
+    assert sink.getvalue() == want

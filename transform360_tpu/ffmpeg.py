@@ -29,17 +29,23 @@ Wrapper-only knobs (stripped before ffmpeg parsing, or env vars):
 ``--t360-prefetch N`` / ``T360_PREFETCH`` (batches in flight, default 1),
 ``--t360-stats`` (JSON stats line on stderr).
 
-Scope (documented, erroring loudly otherwise): one video input, one
-output file; ``-filter_complex`` is accepted for LINEAR single-stream
-graphs (``[0:v]...,transform360=...,...[v]`` with ``-map '[v]'`` and
-optional source-audio maps — rewritten mechanically into the ``-vf``
-split); multi-chain/multi-label graphs error with a rewrite hint.
-ffmpeg options unknown to the tokenizer are assumed to take one value
-(flag-style options are special-cased in ``FLAG_OPTS``).
+Scope (documented, erroring loudly otherwise): one output file;
+``-filter_complex`` graphs are split mechanically whenever the
+transform360 video stream is the ONLY link crossing the cut — linear
+single-stream graphs rewrite into the ``-vf`` form
+(:func:`rewrite_filter_complex`), and multi-chain graphs (upstream
+scale/hstack chains, downstream overlay/drawtext/audio chains, extra
+inputs) run their upstream sub-graph in the decode command and the
+rest in the encode command (:func:`split_complex_graph`).  Graphs
+where a second link would cross the cut (e.g. a ``split`` feeding
+both sides) error with a rewrite hint.  ffmpeg options unknown to the
+tokenizer are assumed to take one value (flag-style options are
+special-cased in ``FLAG_OPTS``).
 """
 
 from __future__ import annotations
 
+import dataclasses
 import os
 import re
 import subprocess
@@ -119,9 +125,10 @@ def tokenize(argv: List[str]):
     return inputs, out_opts, out_path, globals_
 
 
-def split_filterchain(graph: str) -> List[str]:
-    """Split a -vf filterchain on top-level commas, honoring ffmpeg's
-    ``'...'`` quoting and backslash escapes."""
+def split_filterchain(graph: str, sep: str = ",") -> List[str]:
+    """Split a filtergraph on top-level ``sep`` (``,`` between filters,
+    ``;`` between chains), honoring ffmpeg's ``'...'`` quoting and
+    backslash escapes."""
     parts, buf, quoted = [], [], False
     i = 0
     while i < len(graph):
@@ -133,7 +140,7 @@ def split_filterchain(graph: str) -> List[str]:
             continue
         if c == "'":
             quoted = not quoted
-        if c == "," and not quoted:
+        if c == sep and not quoted:
             parts.append("".join(buf))
             buf = []
         else:
@@ -153,10 +160,10 @@ def _unquote(s: str) -> str:
 
 _LBL = r"\[[^\]]+\]"
 _FC_HINT = (
-    "a linear single-stream graph works — [0:v]...,transform360=...,"
-    "...[v] with -map '[v]' is accepted and handled like -vf; anything "
-    "with multiple chains (';'), multiple input/output labels, or maps "
-    "of other video streams must be rewritten"
+    "graphs split mechanically when the transform360 video stream is "
+    "the only link crossing the cut — linear chains, upstream producer "
+    "chains, and downstream overlay/audio chains all work; rewrite the "
+    "graph so no other label spans the transform360 element"
 )
 
 
@@ -183,9 +190,11 @@ def rewrite_filter_complex(out_opts):
         return out_opts, False
     graph = v.strip()
     if ";" in graph:
+        # multi-chain graphs belong to split_complex_graph (main() tries
+        # that first); reaching here means a direct caller skipped it
         raise UsageError(
-            "transform360 inside a multi-chain -filter_complex is not "
-            "supported; " + _FC_HINT
+            "multi-chain -filter_complex: use split_complex_graph; "
+            + _FC_HINT
         )
     m = re.match(rf"^((?:{_LBL})*)(.*?)((?:{_LBL})*)$", graph, re.S)
     ins = re.findall(_LBL, m.group(1))
@@ -225,6 +234,245 @@ def rewrite_filter_complex(out_opts):
             )
         new.append((k2, v2))
     return new, needs_src_input
+
+
+_SRC_RE = re.compile(r"^-?\d+(?::.*)?$")   # [0:v], [1], -map 0:a ...
+
+
+def _parse_chain(chain: str):
+    """Split one filterchain into ``(in_labels, body, out_labels)``.
+
+    ffmpeg grammar puts link labels only at the two ends of a chain
+    (links between consecutive filters inside a chain are implicit).
+    """
+    m = re.match(rf"^((?:{_LBL})*)(.*?)((?:{_LBL})*)$", chain.strip(), re.S)
+    return (
+        re.findall(_LBL, m.group(1)),
+        m.group(2).strip(),
+        re.findall(_LBL, m.group(3)),
+    )
+
+
+def _is_source(label: str) -> bool:
+    """True for stream-specifier labels ([0:v], [1]) vs internal links."""
+    return bool(_SRC_RE.match(label[1:-1].strip()))
+
+
+def _renumber_label(label: str, shift: int) -> str:
+    """[i:rest] -> [i+shift:rest] for source-specifier labels."""
+    if not _is_source(label):
+        return label
+    body = label[1:-1].strip()
+    idx, sep, rest = body.partition(":")
+    return f"[{int(idx) + shift}{sep}{rest}]"
+
+
+@dataclasses.dataclass
+class ComplexSplit:
+    """A multi-chain ``-filter_complex`` graph cut at transform360.
+
+    ``dec_fc``/``dec_map`` select the stream ENTERING the transform in
+    the decode command; ``enc_fc`` (source labels already renumbered for
+    the pipe at input 0) re-attaches everything downstream in the encode
+    command.  ``out_opts`` is the output group with the
+    ``-filter_complex`` removed and plain ``-map`` specifiers renumbered.
+    """
+
+    t360_opts: str
+    dec_fc: Optional[str]
+    dec_map: str
+    enc_fc: Optional[str]
+    out_opts: list
+    needs_src_inputs: bool
+
+
+def split_complex_graph(out_opts):
+    """Cut a MULTI-chain ``-filter_complex`` graph at its transform360.
+
+    The reference filter runs anywhere libavfilter puts it
+    (``vf_transform360.c:1013-1023``).  Any graph splits mechanically
+    when the transform's video stream is the ONLY link crossing the cut:
+    chains feeding the transform (transitive producers of its input
+    label) run in the decode command, every other chain — overlays,
+    audio chains, post filters — runs in the encode command with the
+    transformed video piped in as input 0 and the source files shifted
+    one input slot up.  Graphs where some other link would cross the cut
+    (e.g. a ``split`` whose branches land on both sides) error with the
+    rewrite hint.
+
+    Returns a :class:`ComplexSplit`, or ``None`` when no multi-chain
+    transform360 ``-filter_complex`` is present (single-chain graphs stay
+    on :func:`rewrite_filter_complex`).
+    """
+    for idx, (k, v) in enumerate(out_opts):
+        if (
+            k == "-filter_complex"
+            and "transform360" in (v or "")
+            and ";" in v
+        ):
+            break
+    else:
+        return None
+    chains = [_parse_chain(c) for c in split_filterchain(v.strip(), ";") if c]
+
+    # locate the (single) chain holding transform360 and cut it
+    t_idx = t360_opts = pre = post = None
+    for ci, (ins, body, outs) in enumerate(chains):
+        for j, elem in enumerate(split_filterchain(body)):
+            name, _, opts = elem.partition("=")
+            if name.strip() != "transform360":
+                continue
+            if t_idx is not None:
+                raise UsageError(
+                    "multiple transform360 filters in one "
+                    "-filter_complex are not supported; " + _FC_HINT
+                )
+            t_idx, t360_opts = ci, _unquote(opts)
+            elems = split_filterchain(body)
+            pre, post = elems[:j], elems[j + 1:]
+    if t_idx is None:
+        raise UsageError(
+            "transform360 inside this -filter_complex is not "
+            "supported; " + _FC_HINT
+        )
+    t_ins, _, t_outs = chains[t_idx]
+    if len(t_ins) > 1 and not pre:
+        raise UsageError(
+            "transform360 takes one input stream; " + _FC_HINT
+        )
+    if not t_ins and len(chains) > 1:
+        raise UsageError(
+            "the transform360 chain needs an explicit input label in a "
+            "multi-chain -filter_complex; " + _FC_HINT
+        )
+    if len(t_outs) > 1:
+        raise UsageError(
+            "the transform360 chain ends in multiple output labels; "
+            + _FC_HINT
+        )
+
+    # upstream closure: chains that (transitively) produce the labels the
+    # pre-transform segment consumes run in the decode command
+    produced = {}
+    for ci, (ins, body, outs) in enumerate(chains):
+        for lbl in outs:
+            produced[lbl] = ci
+    upstream = set()
+    needed = [lbl for lbl in t_ins if not _is_source(lbl)]
+    while needed:
+        lbl = needed.pop()
+        ci = produced.get(lbl)
+        if ci is None:
+            raise UsageError(
+                f"-filter_complex label {lbl} has no producing chain"
+            )
+        if ci == t_idx:
+            raise UsageError(
+                f"-filter_complex label {lbl} cycles through the "
+                "transform360 chain; " + _FC_HINT
+            )
+        if ci in upstream:
+            continue
+        upstream.add(ci)
+        needed += [
+            l for l in chains[ci][0] if not _is_source(l)
+        ]
+
+    down_idx = [
+        ci for ci in range(len(chains))
+        if ci != t_idx and ci not in upstream
+    ]
+
+    # the transform stream must be the ONLY link crossing the cut
+    for ci in down_idx:
+        for lbl in chains[ci][0]:
+            if not _is_source(lbl) and produced.get(lbl) in upstream:
+                raise UsageError(
+                    f"-filter_complex label {lbl} is produced before "
+                    "transform360 but consumed after it — a second link "
+                    "would cross the transform cut; " + _FC_HINT
+                )
+    consumed = {
+        lbl
+        for ins, _, _ in chains
+        for lbl in ins
+        if not _is_source(lbl)
+    }
+    for ci in upstream:
+        for lbl in chains[ci][2]:
+            if lbl not in consumed:
+                raise UsageError(
+                    f"-filter_complex label {lbl} from a pre-transform360 "
+                    "chain is never consumed before the transform; "
+                    + _FC_HINT
+                )
+
+    # ---- decode side: upstream chains + the pre-transform segment
+    dec_chains = [
+        "".join(chains[ci][0]) + chains[ci][1] + "".join(chains[ci][2])
+        for ci in sorted(upstream)
+    ]
+    if pre:
+        dec_chains.append("".join(t_ins) + ",".join(pre) + "[__t360in]")
+        dec_map = "[__t360in]"
+    elif t_ins and not _is_source(t_ins[0]):
+        dec_map = t_ins[0]
+    else:
+        dec_map = t_ins[0][1:-1] if t_ins else "0:v"
+    dec_fc = ";".join(dec_chains) if dec_chains else None
+
+    # ---- encode side: the post segment + downstream chains, with the
+    # transformed video piped in as input 0 (source files shift +1)
+    enc_chains = []
+    if post or t_outs:
+        enc_chains.append(
+            "[0:v]" + ",".join(post or ["null"]) + "".join(t_outs)
+        )
+    for ci in down_idx:
+        ins, body, outs = chains[ci]
+        enc_chains.append(
+            "".join(_renumber_label(l, 1) for l in ins)
+            + body
+            + "".join(outs)
+        )
+    enc_fc = ";".join(enc_chains) if enc_chains else None
+
+    # output options: drop the -filter_complex, renumber plain -map
+    # stream specifiers (label maps pass through; labels produced only
+    # on the decode side cannot be mapped into the output)
+    enc_labels = {lbl for c in enc_chains for lbl in _parse_chain(c)[2]}
+    new_opts = []
+    needs_src = any(
+        _is_source(l) for ci in down_idx for l in chains[ci][0]
+    )
+    for i, (k2, v2) in enumerate(out_opts):
+        if i == idx:
+            continue
+        if k2 == "-map" and v2 is not None:
+            target = v2.strip().strip("'\"")
+            if target.startswith("["):
+                if target not in enc_labels and target != "[__t360in]":
+                    raise UsageError(
+                        f"-map {v2!r} selects a label on the decode side "
+                        "of the transform360 cut; " + _FC_HINT
+                    )
+            elif _SRC_RE.match(target):
+                neg = target.startswith("-")
+                body = target[1:] if neg else target
+                si, sep, rest = body.partition(":")
+                target = f"{'-' if neg else ''}{int(si) + 1}{sep}{rest}"
+                needs_src = True
+            new_opts.append(("-map", target))
+            continue
+        new_opts.append((k2, v2))
+    return ComplexSplit(
+        t360_opts=t360_opts,
+        dec_fc=dec_fc,
+        dec_map=dec_map,
+        enc_fc=enc_fc,
+        out_opts=new_opts,
+        needs_src_inputs=needs_src,
+    )
 
 
 def find_transform360(out_opts):
@@ -275,6 +523,38 @@ def probe_decoded(in_opts, in_path, pre_chain):
         raise UsageError(
             "cannot determine the frame size after the pre-transform360 "
             f"filters {pre_chain}: {r.stderr.strip().splitlines()[-1:]}"
+        )
+    fm = _FPS_RE.search(tail[1])
+    pm = _PIX_RE.search(tail[1])
+    return (
+        int(m.group(1)), int(m.group(2)),
+        float(fm.group(1)) if fm else 30.0,
+        pm.group(1) if pm else "yuv420p",
+    )
+
+
+def probe_decoded_complex(inputs, cs: "ComplexSplit"):
+    """Size, rate, and pixel format of the stream ENTERING transform360
+    for a multi-chain ``-filter_complex`` split (the decode-side graph
+    pushed one frame into the null muxer, like :func:`probe_decoded`)."""
+    from .utils.video import _probe_ffmpeg
+
+    if cs.dec_fc is None and not cs.dec_map.startswith("["):
+        idx = int(cs.dec_map.partition(":")[0])
+        return _probe_ffmpeg(inputs[idx][1])
+    cmd = ["ffmpeg", "-hide_banner"]
+    for opts, path in inputs:
+        cmd += [*_flatten(opts), "-i", path]
+    if cs.dec_fc:
+        cmd += ["-filter_complex", cs.dec_fc]
+    cmd += ["-map", cs.dec_map, "-frames:v", "1", "-f", "null", "-"]
+    r = subprocess.run(cmd, capture_output=True, text=True)
+    tail = r.stderr.split("Output #0", 1)
+    m = _OUT_RE.search("Output #0" + tail[1]) if len(tail) == 2 else None
+    if r.returncode or not m:
+        raise UsageError(
+            "cannot determine the frame size entering transform360 in "
+            f"the -filter_complex graph: {r.stderr.strip().splitlines()[-1:]}"
         )
     fm = _FPS_RE.search(tail[1])
     pm = _PIX_RE.search(tail[1])
@@ -390,6 +670,55 @@ def build_commands(inputs, out_opts, out_path, globals_, found, size_rate,
     return dec, enc
 
 
+def build_commands_complex(inputs, cs: "ComplexSplit", out_path, globals_,
+                           size_rate, out_dims, pix_fmt="yuv420p"):
+    """Assemble the decode and encode argvs for a multi-chain
+    ``-filter_complex`` split (pure, for tests).
+
+    Decode command: all source inputs in their original slots, the
+    upstream sub-graph, the transform's input stream mapped to a raw
+    pipe.  Encode command: the raw pipe as input 0, the source files
+    shifted to inputs 1..n when the downstream sub-graph or the maps
+    reference them, the downstream sub-graph, then the user's output
+    options (already renumbered by :func:`split_complex_graph`).
+    """
+    in_w, in_h, fps = size_rate
+    out_w, out_h = out_dims
+
+    dec = ["ffmpeg", "-v", "error", "-nostdin"]
+    for opts, path in inputs:
+        dec += [*_flatten(opts), "-i", path]
+    if cs.dec_fc:
+        dec += ["-filter_complex", cs.dec_fc]
+    dec += ["-map", cs.dec_map,
+            "-f", "rawvideo", "-pix_fmt", pix_fmt, "-"]
+
+    overwrite = [f for f in globals_ if f in ("-y", "-n")]
+    enc = ["ffmpeg", "-v", "error", *overwrite,
+           "-f", "rawvideo", "-pix_fmt", pix_fmt,
+           "-s", f"{out_w}x{out_h}", "-r", f"{fps}", "-i", "-"]
+    user_keys = {k for k, _ in cs.out_opts}
+    add_default_audio = (
+        "-map" not in user_keys
+        and "-an" not in user_keys
+        and not inputs[0][1].endswith((".yuv", ".raw", ".i420"))
+    )
+    if cs.needs_src_inputs or add_default_audio:
+        for opts, path in inputs:
+            enc += [*_flatten(opts), "-i", path]
+    if cs.enc_fc:
+        enc += ["-filter_complex", cs.enc_fc]
+    if add_default_audio:
+        if not cs.enc_fc:
+            enc += ["-map", "0:v"]
+        enc += ["-map", "1:a?"]
+        if not ({"-c:a", "-acodec", "-c"} & user_keys):
+            enc += ["-c:a", "copy"]
+    enc += _flatten(cs.out_opts)
+    enc += [out_path]
+    return dec, enc
+
+
 def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     batch, prefetch, want_stats, argv = _extract_t360_opts(argv)
@@ -404,8 +733,12 @@ def main(argv=None) -> int:
                          and "transform360" in (p[1] or "")]:
                 opts.remove(item)
                 out_opts.insert(0, item)
-        out_opts, needs_src_input = rewrite_filter_complex(out_opts)
-        found = find_transform360(out_opts)
+        cs = split_complex_graph(out_opts)
+        if cs is None:
+            out_opts, needs_src_input = rewrite_filter_complex(out_opts)
+            found = find_transform360(out_opts)
+        else:
+            found = ("complex", None, cs.t360_opts, None)
     except UsageError as e:
         print(f"error: {e}", file=sys.stderr)
         return 2
@@ -418,10 +751,10 @@ def main(argv=None) -> int:
             print("error: no ffmpeg binary on PATH", file=sys.stderr)
             return 2
 
-    if len(inputs) != 1:
+    if len(inputs) != 1 and cs is None:
         print(
             f"error: the transform360 wrapper supports exactly one input "
-            f"(got {len(inputs)})", file=sys.stderr,
+            f"(got {len(inputs)}) outside -filter_complex", file=sys.stderr,
         )
         return 2
 
@@ -440,7 +773,12 @@ def main(argv=None) -> int:
 
     in_opts, in_path = inputs[0]
     try:
-        in_w, in_h, fps, src_fmt = probe_decoded(in_opts, in_path, found[1])
+        if cs is None:
+            in_w, in_h, fps, src_fmt = probe_decoded(
+                in_opts, in_path, found[1]
+            )
+        else:
+            in_w, in_h, fps, src_fmt = probe_decoded_complex(inputs, cs)
     except (UsageError, subprocess.CalledProcessError) as e:
         print(f"error: {e}", file=sys.stderr)
         return 2
@@ -448,11 +786,17 @@ def main(argv=None) -> int:
 
     t = open_filter(found[2], in_w, in_h, pix_fmt=fmt)
     out_w, out_h = t.output_dims()
-    dec_cmd, enc_cmd = build_commands(
-        inputs, out_opts, out_path, globals_, found,
-        (in_w, in_h, fps), (out_w, out_h), pix_fmt=fmt,
-        needs_src_input=needs_src_input,
-    )
+    if cs is None:
+        dec_cmd, enc_cmd = build_commands(
+            inputs, out_opts, out_path, globals_, found,
+            (in_w, in_h, fps), (out_w, out_h), pix_fmt=fmt,
+            needs_src_input=needs_src_input,
+        )
+    else:
+        dec_cmd, enc_cmd = build_commands_complex(
+            inputs, cs, out_path, globals_,
+            (in_w, in_h, fps), (out_w, out_h), pix_fmt=fmt,
+        )
 
     from .cli import batched_outputs, start_reader
 
