@@ -47,3 +47,10 @@ python -m transform360_tpu.cli --vf "cube_edge_length=512" \
 python -m transform360_tpu.ffmpeg --t360-batch 16 -y -i in.mp4 \
   -vf "transform360=cube_edge_length=512:interpolation_alg=cubic" \
   -c:v libx264 out.mp4
+
+# -filter_complex graphs split at the transform automatically: upstream
+# chains run in the decode ffmpeg, downstream chains (overlays, audio
+# filters, extra inputs) in the encode ffmpeg.
+python -m transform360_tpu.ffmpeg -y -i in.mp4 -i logo.png \
+  -filter_complex "[0:v]transform360=cube_edge_length=512[t];[t][1:v]overlay=W-w-10:10[v]" \
+  -map "[v]" -map 0:a -c:v libx264 -c:a copy out.mp4

@@ -29,25 +29,26 @@ OUT_W, OUT_H = 1536, 1024
 
 
 def class_counts_per_row(plan):
-    """[out_h, 4] counts of (regular, wide, polar, fallback-subtile)
+    """[out_h, 5] counts of (regular, wide, tall, polar, fallback-subtile)
     supertiles whose 8 output rows intersect each luma row (chroma
     mapped x2)."""
-    from transform360_tpu.ops.remap_pallas import CLASS_P, CLASS_R
+    from transform360_tpu.ops.remap_pallas import CLASS_P, CLASS_R, CLASS_T
 
-    rows = np.zeros((plan.luma.out_h, 4))
+    rows = np.zeros((plan.luma.out_h, 5))
 
     def add(pp, r, weight):
         wp = pp.pallas.get()
         for cls in wp.classes:
-            dims = (cls.win_h, cls.win_w)
-            kind = 0 if dims == CLASS_R[:2] else (
-                2 if dims == CLASS_P[:2] else 1)
+            dims = (cls.win_h, cls.win_w, cls.gh)
+            kind = (0 if dims == CLASS_R else
+                    3 if dims == CLASS_P else
+                    2 if dims == CLASS_T else 1)
             for j in range(cls.n):
                 ti = int(cls.meta[0, j])  # supertile row index (TH=8 rows)
                 rows[ti * 8 * r : (ti + 1) * 8 * r, kind] += weight / (8 * r)
         if wp.fb_rows is not None:
             for sr in wp.fb_rows:
-                rows[int(sr) * 8 * r : (int(sr) + 1) * 8 * r, 3] += (
+                rows[int(sr) * 8 * r : (int(sr) + 1) * 8 * r, 4] += (
                     weight / (8 * r)
                 )
 
@@ -75,25 +76,25 @@ def main():
     )
     plan = build_plan(cfg, IN_W, IN_H, OUT_W, OUT_H)
     rows = class_counts_per_row(plan)
-    per_band = rows.reshape(n, -1, 4).sum(axis=1)
+    per_band = rows.reshape(n, -1, 5).sum(axis=1)
 
-    cols = [0, 1, 2, 3]
-    if not per_band[:, 3].any():
-        cols = [0, 1, 2]  # no fallback subtiles anywhere (post-CLASS_P)
+    names = ["R", "W", "T", "P", "F"]
+    cols = [k for k in range(5) if per_band[:, k].any()]
     A = np.hstack([np.ones((n, 1)), per_band[:, cols]])
     coef, res, *_ = np.linalg.lstsq(A, ms, rcond=None)
     pred = A @ coef
-    print("bands (nR, nW, nP, nF):")
+    print("bands (nR, nW, nT, nP, nF):")
     for k in range(n):
         print(f"  band {k}: {per_band[k].round(1)}  measured {ms[k]:.2f} "
               f"pred {pred[k]:.2f}")
-    c0, cR, cW, cP = coef[:4]
-    cF = coef[4] if len(coef) > 4 else float("nan")
-    print(f"fit: c0={c0:.3f} ms, cR={cR*1e3:.2f} us, cW={cW*1e3:.2f} us, "
-          f"cP={cP*1e3:.2f} us, cF={cF*1e3:.2f} us")
-    if cR > 0:
-        print(f"ratios: wide/regular={cW/cR:.2f}, polar/regular={cP/cR:.2f}"
-              + (f", fb/regular={cF/cR:.2f}" if len(coef) > 4 else ""))
+    print(f"fit: c0={coef[0]:.3f} ms, " + ", ".join(
+        f"c{names[c]}={coef[1 + i] * 1e3:.2f} us"
+        for i, c in enumerate(cols)))
+    if 0 in cols and coef[1] > 0:
+        cR = coef[1]
+        print("ratios: " + ", ".join(
+            f"{names[c]}/R={coef[1 + i] / cR:.2f}"
+            for i, c in enumerate(cols) if c != 0))
     err = np.abs(pred - ms)
     print(f"max |err| = {err.max():.2f} ms  mean = {err.mean():.2f} ms")
 

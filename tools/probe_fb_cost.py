@@ -42,7 +42,7 @@ def main():
     for name, pp in (("luma", plan.luma), ("chroma", plan.chroma)):
         wp = pp.pallas.get()
         counts = {
-            f"{c.win_h}x{c.win_w}": int(c.n) for c in wp.classes
+            f"{c.win_h}x{c.win_w}g{c.gh}": int(c.n) for c in wp.classes
         }
         nf = 0 if wp.fb_rows is None else int(wp.fb_rows.shape[0])
         x = jax.device_put(

@@ -11,9 +11,10 @@ worst-plane PSNR, which bench.py emits alongside the fps number.
 On a TPU backend the production Pallas kernels are exercised on ALL
 production paths: both lane sub-paths (pack-K for low-occupancy batches,
 and the plain padded kernel that the batch-128 headline uses), the
-window-gather kernel at batch 1 — covering every window class incl. the
-polar CLASS_P, all present at the gate size with zero fallback subtiles —
-and the latency-banded execution (two model-balanced output row-bands,
+window-gather kernel at batch 1 — covering every window class (regular,
+wide, tall-group, polar CLASS_P) AND the XLA-fallback patch, all present
+in both planes at the gate size — and the latency-banded execution (two
+model-balanced output row-bands,
 :mod:`transform360_tpu.parallel.latency`).  On CPU the XLA gather path
 runs throughout.  The reference behavior being checked is the full
 filter pipeline (``VideoFrameTransform.cpp:707-794``: prefilter ->
@@ -55,8 +56,8 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
 
 
 def bench_fidelity(
-    in_wh: Tuple[int, int] = (1024, 512),
-    out_wh: Tuple[int, int] = (384, 256),
+    in_wh: Tuple[int, int] = (1920, 960),
+    out_wh: Tuple[int, int] = (480, 320),
     batch: int = 12,
 ) -> Dict[str, float]:
     """Worst-plane PSNR of the production pipeline vs the oracle at the
@@ -104,8 +105,8 @@ def bench_fidelity(
         pipeline.LANE_PACK_MAX = old_pack
 
     # batch 1 routes below LANE_MIN_BATCH: the window-gather kernel on
-    # kernel backends (all window classes incl. polar CLASS_P present at
-    # this size) — the path every latency-band execution runs on
+    # kernel backends (all four window classes AND the fallback patch
+    # present at this size) — the path every latency-band execution runs on
     fold(
         np.asarray(p[0])
         for p in transform_batch(plan, yb[:1], ub[:1], vb[:1])

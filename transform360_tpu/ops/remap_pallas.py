@@ -21,11 +21,13 @@ an 8-aligned row sub-window (group_h rows) so vector ops touch only the
 rows that group samples.  Plan-time classification (done inline in
 :func:`build_pallas_remap`): subtile footprints that fit the regular class
 (window 96x256, group_h 48) use a 2-chunk x-gather; up to 128x640/64
-uses 5 chunks; the polar class 128x1152/96 (cubemap top/bottom-face
-tiles, measured 37% of the batch-1 luma remap when they ran on the XLA
-gather) uses 9; anything wider still (degenerate pole tiles — <<1%)
-falls back to the XLA gather on just those subtiles and is patched into
-the output.
+uses 5 chunks; the tall-group class 128x640/96 serves the narrow
+majority of pole-face tiles (wide y-span, ordinary x-extent) with the
+same 5 chunks; the polar class 128x1152/96 (genuinely wide cubemap
+top/bottom-face tiles, measured 37% of the batch-1 luma remap when they
+ran on the XLA gather) uses 9; anything wider still (degenerate pole
+tiles — <<1%) falls back to the XLA gather on just those subtiles and
+is patched into the output.
 
 The kernel is layout-agnostic: all projection/stereo/border logic lives in
 the plan's per-lane index/weight arrays (built from the same 1/32-quantized
@@ -68,14 +70,21 @@ Y_ALIGN, X_ALIGN = 8, 128
 # still fit the window of any higher class its supertile lands in.
 CLASS_R = (96, 256, 48)
 CLASS_W = (128, 640, 64)
+# Tall-group class: CLASS_W's width with CLASS_P's group height.  Most
+# "polar" tiles are polar in group span only (flagship luma: 75% of the
+# P-classified supertiles have x_ext <= 513, chroma 100%) — they were
+# paying the 1152-wide 9-chunk x-gather for a y-span problem.  This
+# class serves them with the 5-chunk body instead.
+CLASS_T = (128, 640, 96)
 # Polar class: covers the cubemap top/bottom-face tiles that previously
 # fell back to the XLA gather (flagship: 376 luma + 88 chroma subtiles,
 # measured ~27% of the batch-1 frame).  They fail CLASS_W on group span
 # (g_span up to 89 > 57) and x-extent (up to 913 > 513), not on raw
-# window size.  Rare (~10% of supertiles), so its window scratch is
-# single-buffered: the exposed DMA (~0.6 µs/step at batch 1) is noise
-# against the ~20 µs body, and double-buffering 128x1152 windows at
-# batch 8 (9.4 MB) would crowd the ~16 MB VMEM.
+# window size.  Rare (~10% of supertiles); its window scratch is
+# double-buffered wherever VMEM allows (batch <= 4 — the batch range
+# the window path actually serves) and serial single-buffered at
+# batch 8, where 9.4 MB of double-buffered 128x1152 windows would
+# crowd the ~16 MB VMEM (see _class_nbuf).
 CLASS_P = (128, 1152, 96)
 
 
@@ -180,7 +189,7 @@ def build_pallas_remap(spec: SampleSpec, fill: float) -> Optional["PallasRemapPl
     ).astype(np.float32)  # [out_hp, out_wp, T]
 
     # --- classify subtiles -------------------------------------------------
-    sub_class = np.zeros((n_ty, n_tx), np.int8)  # 0=R, 1=W, 2=P, 3=fallback
+    sub_class = np.zeros((n_ty, n_tx), np.int8)  # 0=R 1=W 2=T 3=P 4=fallback
     sub_y0 = np.zeros((n_ty, n_tx), np.int64)
     sub_x0 = np.zeros((n_ty, n_tx), np.int64)
     px_rows = (np.arange(pg)[:, None] * px_per_group
@@ -203,7 +212,7 @@ def build_pallas_remap(spec: SampleSpec, fill: float) -> Optional["PallasRemapPl
             # per-group (output-row-group) y-span must fit the group window
             tby_f = tb_y.reshape(-1)[px_rows]  # [pg, px_per_group]
             g_span = int((tby_f.max(axis=1) - tby_f.min(axis=1)).max()) + T
-            for c, dims in enumerate((CLASS_R, CLASS_W, CLASS_P)):
+            for c, dims in enumerate((CLASS_R, CLASS_W, CLASS_T, CLASS_P)):
                 # dims[0] <= hp: the window must fit the padded plane, or
                 # the build-time origin clamp would go negative (short
                 # inputs, e.g. the chroma of a 192-row equirect)
@@ -213,7 +222,7 @@ def build_pallas_remap(spec: SampleSpec, fill: float) -> Optional["PallasRemapPl
                         and g_span <= dims[2] - (Y_ALIGN - 1)):
                     break
             else:
-                c = 3
+                c = 4
             sub_class[ti, tj] = c
             # quantize window origins to the DMA tiling
             sub_y0[ti, tj] = (y0 // Y_ALIGN) * Y_ALIGN
@@ -222,14 +231,14 @@ def build_pallas_remap(spec: SampleSpec, fill: float) -> Optional["PallasRemapPl
     # supertile class = max of its subtile classes (fallback subtiles are
     # computed with clamped windows and later overwritten)
     n_sx = n_tx // SUB
-    entries = {0: [], 1: [], 2: []}
+    entries = {0: [], 1: [], 2: [], 3: []}
     fb_tiles = []
     for ti in range(n_ty):
         for sj in range(n_sx):
             cls = 0
             for s in range(SUB):
                 c = sub_class[ti, sj * SUB + s]
-                if c == 3:
+                if c == 4:
                     fb_tiles.append((ti, sj * SUB + s))
                 else:
                     cls = max(cls, int(c))
@@ -237,7 +246,7 @@ def build_pallas_remap(spec: SampleSpec, fill: float) -> Optional["PallasRemapPl
 
     # x-pad follows the widest class actually present (min CLASS_W, so
     # plans that predate CLASS_P keep their padded plane byte-identical)
-    widest = CLASS_P[1] if entries[2] else CLASS_W[1]
+    widest = CLASS_P[1] if entries[3] else CLASS_W[1]
     wp = -(-(W + widest) // X_ALIGN) * X_ALIGN
     pad_x = wp - W
 
@@ -304,7 +313,7 @@ def build_pallas_remap(spec: SampleSpec, fill: float) -> Optional["PallasRemapPl
     built = tuple(
         c
         for c in (build_class(0, CLASS_R), build_class(1, CLASS_W),
-                  build_class(2, CLASS_P))
+                  build_class(2, CLASS_T), build_class(3, CLASS_P))
         if c is not None
     )
 
@@ -417,11 +426,16 @@ def _wy_weights(interp: Interpolation, f, t_iota):
     return jnp.where(exact, jnp.where(t_iota == 3, 1.0, 0.0), w)
 
 
-def _class_nbuf(cls: RemapClass) -> int:
-    """Window-scratch buffer count: double everywhere except the rare
-    polar class, whose 128x1152 windows would not fit VMEM double-
-    buffered at batch 8 (see CLASS_P note above)."""
-    return 1 if (cls.win_h, cls.win_w) == CLASS_P[:2] else 2
+def _class_nbuf(cls: RemapClass, batch: int) -> int:
+    """Window-scratch buffer count: double-buffer whenever the scratch
+    fits the VMEM budget.  The polar class's 128x1152 windows exceed it
+    at batch 8 (9.4 MB, see CLASS_P note above) and fall back to serial
+    single-buffered DMA there; at the batch-1..4 latencies the window
+    path actually serves, even the polar scratch is small (1.2-4.7 MB)
+    and the four per-step window copies overlap the previous body."""
+    if SUB * batch * cls.win_h * cls.win_w * 2 <= 6 * 1024 * 1024:
+        return 2
+    return 1
 
 
 def _make_kernel(plan: PallasRemapPlan, cls: RemapClass, batch: int):
@@ -432,7 +446,7 @@ def _make_kernel(plan: PallasRemapPlan, cls: RemapClass, batch: int):
     n_chunks = ww // LANES
     interp = plan.interp
     n = cls.n
-    nbuf = _class_nbuf(cls)
+    nbuf = _class_nbuf(cls, batch)
 
     def kernel(meta_ref, gy0_ref, lx_ref, ly_ref, wx_ref, fy_ref, addb_ref,
                src_ref, out_ref, win, sems):
@@ -604,10 +618,10 @@ def _run_class(plan, cls: RemapClass, padded, prev_out, interpret):
         ),
         scratch_shapes=[
             pltpu.VMEM(
-                (_class_nbuf(cls), SUB, batch, cls.win_h, cls.win_w),
+                (_class_nbuf(cls, batch), SUB, batch, cls.win_h, cls.win_w),
                 jnp.uint8,
             ),
-            pltpu.SemaphoreType.DMA((_class_nbuf(cls), SUB)),
+            pltpu.SemaphoreType.DMA((_class_nbuf(cls, batch), SUB)),
         ],
     )
     return pl.pallas_call(

@@ -93,6 +93,10 @@ _BAND_CACHE: Dict[Tuple, Tuple[TransformPlan, ...]] = {}
 # flagship plan has zero fallback subtiles since CLASS_P.
 _COST_REGULAR = 1.0
 _COST_WIDE = 1.54
+# Tall-group class (128x640/96, round 4): W's chunk count with P's group
+# height — costed at the wide rate pending an on-chip refit (its body is
+# the W body over a taller sub-window).
+_COST_TALL = 1.54
 _COST_POLAR = 1.65
 _COST_FB_SUBTILE = 1.93
 
@@ -114,7 +118,7 @@ def plan_row_costs(plan: TransformPlan) -> Optional[np.ndarray]:
     window-gather plan (tiny planes on the XLA path): callers fall back
     to uniform bands.
     """
-    from ..ops.remap_pallas import CLASS_P, CLASS_R
+    from ..ops.remap_pallas import CLASS_P, CLASS_R, CLASS_T
 
     rows = np.zeros(plan.luma.out_h)
 
@@ -125,11 +129,13 @@ def plan_row_costs(plan: TransformPlan) -> Optional[np.ndarray]:
         unit = 8 * r  # luma rows covered by one supertile row
         buckets = np.zeros(-(-plan.luma.out_h // unit) + 16)
         for cls in wp.classes:
-            dims = (cls.win_h, cls.win_w)
-            if dims == CLASS_R[:2]:
+            dims = (cls.win_h, cls.win_w, cls.gh)
+            if dims == CLASS_R:
                 c = _COST_REGULAR
-            elif dims == CLASS_P[:2]:
+            elif dims == CLASS_P:
                 c = _COST_POLAR
+            elif dims == CLASS_T:
+                c = _COST_TALL
             else:
                 c = _COST_WIDE
             np.add.at(buckets, cls.meta[0].astype(int), weight * c)
