@@ -6,9 +6,12 @@ video-like 4K frame and reports per-plane PSNR against the oracle pipeline
 """
 
 import json
+import os
 import sys
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
