@@ -269,6 +269,48 @@ def test_complex_split_unlabeled_tail_gets_default_mapping():
     assert "1:a?" in enc and "copy" in enc
 
 
+def test_complex_split_unlabeled_tail_with_user_maps_keeps_video():
+    """Transform chain ending with NO output label while other chains
+    carry user maps: real ffmpeg implicitly maps the unlabeled filter
+    output, so the encode command must map the pipe video explicitly —
+    ahead of the user maps — instead of silently dropping it."""
+    cs = wrap.split_complex_graph(
+        [("-filter_complex",
+          "[0:v]transform360=w=64;[0:a]volume=2[a]"),
+         ("-map", "[a]")]
+    )
+    assert cs.pipe_consumed is False
+    assert cs.enc_fc == "[1:a]volume=2[a]"
+    dec, enc = wrap.build_commands_complex(
+        [([], "in.mp4")], cs, "out.mp4", ["-y"], (128, 64, 30.0), (96, 64)
+    )
+    maps = [enc[i + 1] for i, a in enumerate(enc) if a == "-map"]
+    assert maps == ["0:v", "[a]"]
+
+
+def test_complex_split_bare_index_input_maps_video_only():
+    """A bare file-index label ([1]) must pipe only that input's VIDEO
+    stream — '-map 1' would interleave audio bytes into the raw pipe."""
+    cs = wrap.split_complex_graph(
+        [("-filter_complex",
+          "[1]transform360=w=64[t];[t][0:v]overlay[v]"),
+         ("-map", "[v]")]
+    )
+    assert cs.dec_map == "1:v"
+
+
+def test_complex_split_rejects_map_of_internal_pipe_label():
+    """[__t360in] exists only in the decode command; a user map of it
+    must hit the wrapper's decode-side-label error, not a confusing
+    failure inside ffmpeg."""
+    with pytest.raises(wrap.UsageError):
+        wrap.split_complex_graph(
+            [("-filter_complex",
+              "[0:v]hflip,transform360=w=64[v];[0:a]volume=2[a]"),
+             ("-map", "[v]"), ("-map", "[__t360in]")]
+        )
+
+
 def test_complex_split_rejects_second_crossing_link():
     """A split whose branches land on both sides of the transform cut
     cannot be piped through one raw stream."""

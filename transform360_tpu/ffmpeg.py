@@ -57,15 +57,33 @@ import numpy as np
 
 # ffmpeg options that take NO value argument.  Everything else starting
 # with "-" is assumed to consume the next token.  (ffmpeg's real parser
-# knows per-option arity; this list covers the common flag options so a
-# typical command line tokenizes correctly.)
+# knows per-option arity; this is the transcoding-relevant boolean/flag
+# subset of ffmpeg's own option table — fftools `ffmpeg -h full` /
+# documentation "Main options" + "Advanced options", ffmpeg 6.x —
+# vendored as a fixture in tests/test_ffmpeg_arity.py.  Boolean options
+# also match with a per-stream specifier (-fix_sub_duration:s:0) and in
+# the -noX negated form; the tokenizer normalizes both.  NOT here:
+# lookalikes that DO take a value — -apad (filter-args string),
+# -stats_period, -vstats_file, -copytb, -abort_on, -seek_timestamp.)
 FLAG_OPTS = {
-    "-y", "-n", "-an", "-vn", "-sn", "-dn", "-hide_banner", "-nostdin",
-    "-stats", "-nostats", "-shortest", "-copyts", "-re", "-autorotate",
-    "-noautorotate", "-ignore_unknown", "-xerror", "-benchmark",
-    "-accurate_seek", "-noaccurate_seek", "-fix_sub_duration",
-    "-apad", "-dump", "-hex", "-vstats", "-psnr", "-qphist",
+    "-y", "-n", "-an", "-vn", "-sn", "-dn", "-hide_banner", "-stdin",
+    "-stats", "-shortest", "-copyts", "-re", "-autorotate",
+    "-ignore_unknown", "-copy_unknown", "-recast_media", "-xerror",
+    "-benchmark", "-benchmark_all", "-accurate_seek",
+    "-fix_sub_duration", "-copyinkf", "-autoscale", "-bitexact",
+    "-debug_ts", "-start_at_zero", "-auto_conversion_filters",
+    "-dump", "-hex", "-vstats", "-psnr", "-qphist", "-report",
 }
+
+
+def _is_flag_opt(a: str) -> bool:
+    """True when argv token ``a`` is a no-value ffmpeg option: a
+    ``FLAG_OPTS`` member, its ``-no`` negation (every ffmpeg boolean
+    accepts ``-noX``), or either with a ``:stream`` specifier."""
+    base = a.partition(":")[0]
+    if base in FLAG_OPTS:
+        return True
+    return base.startswith("-no") and "-" + base[3:] in FLAG_OPTS
 
 # global ffmpeg options hoisted to BOTH subprocesses regardless of where
 # they appeared in the argv
@@ -101,7 +119,7 @@ def tokenize(argv: List[str]):
             globals_.append(a)
             i += 1
         elif a.startswith("-") and len(a) > 1:
-            if a in FLAG_OPTS:
+            if _is_flag_opt(a):
                 cur.append((a, None))
                 i += 1
             else:
@@ -284,6 +302,11 @@ class ComplexSplit:
     enc_fc: Optional[str]
     out_opts: list
     needs_src_inputs: bool
+    # whether the encode-side graph consumes the raw pipe ([0:v]); when it
+    # does not, build_commands_complex must map the pipe video explicitly —
+    # real ffmpeg implicitly maps an unlabeled filter output, and user -map
+    # options would otherwise silently drop the transformed stream
+    pipe_consumed: bool = True
 
 
 def split_complex_graph(out_opts):
@@ -418,7 +441,10 @@ def split_complex_graph(out_opts):
     elif t_ins and not _is_source(t_ins[0]):
         dec_map = t_ins[0]
     else:
-        dec_map = t_ins[0][1:-1] if t_ins else "0:v"
+        # a bare file index ([1]) would "-map 1" EVERY stream of that
+        # input into the rawvideo pipe; qualify it to the video stream
+        body = t_ins[0][1:-1].strip() if t_ins else "0:v"
+        dec_map = body if ":" in body else body + ":v"
     dec_fc = ";".join(dec_chains) if dec_chains else None
 
     # ---- encode side: the post segment + downstream chains, with the
@@ -451,7 +477,7 @@ def split_complex_graph(out_opts):
         if k2 == "-map" and v2 is not None:
             target = v2.strip().strip("'\"")
             if target.startswith("["):
-                if target not in enc_labels and target != "[__t360in]":
+                if target not in enc_labels:
                     raise UsageError(
                         f"-map {v2!r} selects a label on the decode side "
                         "of the transform360 cut; " + _FC_HINT
@@ -472,6 +498,7 @@ def split_complex_graph(out_opts):
         enc_fc=enc_fc,
         out_opts=new_opts,
         needs_src_inputs=needs_src,
+        pipe_consumed=bool(post or t_outs),
     )
 
 
@@ -708,9 +735,13 @@ def build_commands_complex(inputs, cs: "ComplexSplit", out_path, globals_,
             enc += [*_flatten(opts), "-i", path]
     if cs.enc_fc:
         enc += ["-filter_complex", cs.enc_fc]
+    if not cs.pipe_consumed:
+        # the encode-side graph never consumes the raw pipe (transform
+        # chain ended with no output label): map the transformed video
+        # explicitly, ahead of any user maps — mirroring real ffmpeg's
+        # implicit mapping of an unlabeled filter output
+        enc += ["-map", "0:v"]
     if add_default_audio:
-        if not cs.enc_fc:
-            enc += ["-map", "0:v"]
         enc += ["-map", "1:a?"]
         if not ({"-c:a", "-acodec", "-c"} & user_keys):
             enc += ["-c:a", "copy"]
