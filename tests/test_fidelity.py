@@ -27,11 +27,16 @@ def test_gate_green_then_red_on_injected_tap_bug(monkeypatch):
     assert healthy["worst_db"] >= 50.0, healthy
 
     # inject a 1-tap weight bug: perturb the dominant cubic tap by 2%
+    # (scoped to CUBIC — the gate also sweeps NEAREST, whose tap list
+    # has a single entry)
+    from transform360_tpu.config import Interpolation
+
     real = sampling._tap_weights
 
     def buggy(interp, f, xp=None, **kwargs):
         ws = real(interp, f, xp) if xp is not None else real(interp, f)
-        ws[1] = ws[1] * 1.02
+        if interp == Interpolation.CUBIC:
+            ws[1] = ws[1] * 1.02
         return ws
 
     monkeypatch.setattr(sampling, "_tap_weights", buggy)
@@ -46,6 +51,82 @@ def test_gate_green_then_red_on_injected_tap_bug(monkeypatch):
     _reset_caches()
 
 
+def test_gate_red_on_injected_stereo_offset_bug(monkeypatch):
+    """A bug confined to the stereo eye split (the input-eye re-pack of
+    VideoFrameTransform.cpp:1279-1300) must flip the gate red via the
+    TB/LR parity cases — the flagship is MONO and stays green, which is
+    exactly why the gate must sweep the stereo configs."""
+    from transform360_tpu import geometry
+
+    kw = dict(in_wh=(512, 256), out_wh=(192, 128), batch=2)
+    _reset_caches()
+    healthy = bench_fidelity(**kw)
+    assert healthy["worst_db"] >= 50.0, healthy
+
+    # inject: the second eye's map rows sample 2 px below where the eye
+    # split puts them — only stereo input configs read this offset
+    real = geometry.build_warp_map
+
+    def buggy(cfg, in_w, in_h, ow, oh):
+        from transform360_tpu.config import StereoFormat
+
+        m = np.array(real(cfg, in_w, in_h, ow, oh))
+        if cfg.input_stereo_format == StereoFormat.TB:
+            m[..., 1] = np.where(m[..., 1] >= in_h / 2, m[..., 1] + 2.0,
+                                 m[..., 1])
+        elif cfg.input_stereo_format == StereoFormat.LR:
+            m[..., 0] = np.where(m[..., 0] >= in_w / 2, m[..., 0] + 2.0,
+                                 m[..., 0])
+        return m
+
+    monkeypatch.setattr(geometry, "build_warp_map", buggy)
+    _reset_caches()
+    try:
+        broken = bench_fidelity(**kw)
+    finally:
+        _reset_caches()
+    assert broken["Y"] >= 50.0, "flagship (MONO) should stay green"
+    assert min(broken["configs"]["stereo_tb"],
+               broken["configs"]["stereo_lr"]) < 50.0, broken
+    assert broken["worst_db"] < 50.0, (
+        f"injected stereo-offset bug not detected: {broken}"
+    )
+
+
+def test_gate_red_on_injected_lanczos_weight_bug(monkeypatch):
+    """A bug confined to the LANCZOS4 tap table must flip the gate red
+    via the lanczos4 parity case — the flagship is CUBIC and stays
+    green, which is why the gate must sweep the other interpolators."""
+    from transform360_tpu import sampling
+
+    kw = dict(in_wh=(512, 256), out_wh=(192, 128), batch=2)
+    _reset_caches()
+    healthy = bench_fidelity(**kw)
+    assert healthy["worst_db"] >= 50.0, healthy
+
+    from transform360_tpu.config import Interpolation
+
+    real = sampling._tap_weights
+
+    def buggy(interp, f, xp=None, **kwargs):
+        ws = real(interp, f, xp) if xp is not None else real(interp, f)
+        if interp == Interpolation.LANCZOS4:
+            ws[3] = ws[3] * 1.02  # perturb a dominant 8-tap weight
+        return ws
+
+    monkeypatch.setattr(sampling, "_tap_weights", buggy)
+    _reset_caches()
+    try:
+        broken = bench_fidelity(**kw)
+    finally:
+        _reset_caches()
+    assert broken["Y"] >= 50.0, "flagship (CUBIC) should stay green"
+    assert broken["configs"]["lanczos4"] < 50.0, broken
+    assert broken["worst_db"] < 50.0, (
+        f"injected lanczos tap bug not detected: {broken}"
+    )
+
+
 def test_gate_red_on_injected_window_kernel_bug(monkeypatch):
     """A bug confined to the window-gather kernel (the batch<8 path and
     the engine under every latency-band execution) must flip the gate
@@ -54,7 +135,8 @@ def test_gate_red_on_injected_window_kernel_bug(monkeypatch):
     in interpret mode, which executes the exact kernel body."""
     from transform360_tpu.ops import remap_pallas as rp
 
-    kw = dict(in_wh=(512, 256), out_wh=(192, 128), batch=2)
+    kw = dict(in_wh=(512, 256), out_wh=(192, 128), batch=2,
+              parity_sweep=False)
 
     monkeypatch.setattr(
         pipeline, "_use_pallas", lambda pp: rp.pallas_eligible(pp.spec)
@@ -102,7 +184,8 @@ def test_gate_red_on_injected_merged_pack_bug(monkeypatch):
     run in interpret mode (exact kernel body) on this CPU box."""
     from transform360_tpu.ops import remap_lane as rl
 
-    kw = dict(in_wh=(512, 256), out_wh=(192, 128), batch=2)
+    kw = dict(in_wh=(512, 256), out_wh=(192, 128), batch=2,
+              parity_sweep=False)
 
     monkeypatch.setattr(pipeline, "_use_pallas", lambda pp: True)
     monkeypatch.setattr(pipeline, "LANE_MIN_BATCH", 1)

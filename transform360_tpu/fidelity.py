@@ -19,6 +19,16 @@ model-balanced output row-bands,
 runs throughout.  The reference behavior being checked is the full
 filter pipeline (``VideoFrameTransform.cpp:707-794``: prefilter ->
 cv::remap) via the declared golden oracle (:mod:`transform360_tpu.oracle`).
+
+Beyond the flagship, the gate sweeps the full BASELINE parity surface at
+the gate size (round-4 verdict: a stereo eye-split or lanczos tap-table
+regression used to keep BENCH green): bilinear-no-LPF, the edge-1024
+cubic analog (4x the output pixels), the 32x15 adaptive
+``adjust_kernel`` prefilter, TB and LR stereo, plus one NEAREST and one
+LANCZOS4 interpolator case — each on the default routing for the gate
+batch, vs its own oracle run (reference option surface:
+``vf_transform360.c:407-987``).  The reported ``worst_db`` is the
+minimum across everything.
 """
 
 from __future__ import annotations
@@ -59,12 +69,17 @@ def bench_fidelity(
     in_wh: Tuple[int, int] = (1920, 960),
     out_wh: Tuple[int, int] = (480, 320),
     batch: int = 12,
+    parity_sweep: bool = True,
 ) -> Dict[str, float]:
     """Worst-plane PSNR of the production pipeline vs the oracle at the
     flagship config (cubic + adaptive prefilter), small size.
 
     Returns ``{"worst_db": x, "Y": ..., "U": ..., "V": ...}`` where the
-    per-plane values are the minimum over the kernel paths exercised.
+    per-plane values are the minimum over the kernel paths exercised,
+    plus per-config worst PSNRs under ``"configs"`` when
+    ``parity_sweep`` is on (the BASELINE sweep; tests that inject bugs
+    into one specific kernel family turn it off — the flagship part
+    already exercises every kernel family).
     """
     from . import oracle, pipeline
     from .config import StereoFormat, TransformConfig
@@ -119,4 +134,47 @@ def bench_fidelity(
     fold(transform_frame_banded(plan, (y, u, v), n=2, row_costs="auto"))
 
     out["worst_db"] = min(out[p] for p in "YUV")
+    if not parity_sweep:
+        return out
+
+    # ---- BASELINE parity sweep: the other four parity configs plus one
+    # NEAREST and one LANCZOS4 case, each vs its own oracle run on the
+    # default routing for the gate batch
+    from .config import Interpolation
+
+    mono = dict(
+        input_stereo_format=StereoFormat.MONO,
+        output_stereo_format=StereoFormat.MONO,
+    )
+    cases = [
+        ("bilinear_nolpf", (out_w, out_h),
+         dict(interpolation_alg=Interpolation.LINEAR,
+              enable_low_pass_filter=0, **mono)),
+        # the edge-1024 parity config scaled to the gate: 4x the output px
+        ("cubic_big", (out_w * 2, out_h * 2), mono),
+        ("adaptive_32x15", (out_w, out_h),
+         dict(num_vertical_segments=32, num_horizontal_segments=15,
+              adjust_kernel=1, **mono)),
+        ("stereo_tb", (out_w, out_h),
+         dict(input_stereo_format=StereoFormat.TB,
+              output_stereo_format=StereoFormat.TB)),
+        ("stereo_lr", (out_w, out_h),
+         dict(input_stereo_format=StereoFormat.LR,
+              output_stereo_format=StereoFormat.LR)),
+        ("nearest", (out_w, out_h),
+         dict(interpolation_alg=Interpolation.NEAREST, **mono)),
+        ("lanczos4", (out_w, out_h),
+         dict(interpolation_alg=Interpolation.LANCZOS4, **mono)),
+    ]
+    out["configs"] = {}
+    for name, (ow, oh), kw in cases:
+        ccfg = TransformConfig(**kw)
+        cplan = build_plan(ccfg, in_w, in_h, ow, oh)
+        cwant = oracle.transform_frame_yuv420(ccfg, (y, u, v), ow, oh)
+        cgot = transform_batch(cplan, yb, ub, vb)
+        db = min(
+            psnr(np.asarray(g[0]), w) for g, w in zip(cgot, cwant)
+        )
+        out["configs"][name] = db
+        out["worst_db"] = min(out["worst_db"], db)
     return out
