@@ -280,6 +280,62 @@ def test_plan_v2_carries_kernel_plans(tmp_path, rng):
     assert got_blur.wwp == fresh_blur.wwp
 
 
+def test_plan_v3_quantized_storage_bit_exact_and_v2_compat(tmp_path):
+    """v3 stores fractions/tap-weights/indices in downcast or value-table
+    form (they are 1/32-quantized by construction, sampling.py) and must
+    reconstruct BIT-exactly; a legacy v2 file (raw arrays) still loads."""
+    import json
+
+    from transform360_tpu import plan as plan_mod
+    from transform360_tpu.plan import build_plan as bp
+    from transform360_tpu.plan import load_plan, save_plan
+
+    cfg = TransformConfig(interpolation_alg=Interpolation.CUBIC, **MONO)
+    plan = bp(cfg, 256, 128, 96, 64)
+    p3 = tmp_path / "v3.npz"
+    save_plan(plan, str(p3))
+
+    with np.load(str(p3), allow_pickle=False) as data:
+        header = json.loads(bytes(data["header"]).decode("utf-8"))
+        assert header["version"] == 3
+        enc = header["enc"]
+        # the big arrays actually shrank on disk
+        assert enc["luma.frac_x"]["c"] == "dict"
+        assert data["luma.frac_x"].dtype == np.uint8
+        assert enc["luma.base_x"]["c"] == "int"
+        assert data["luma.base_x"].dtype.itemsize < 4
+
+    loaded = load_plan(str(p3))
+    for name in ("base_y", "base_x", "frac_y", "frac_x"):
+        a = getattr(plan.luma.spec, name)
+        b = getattr(loaded.luma.spec, name)
+        assert a.dtype == b.dtype
+        np.testing.assert_array_equal(a, b)
+
+    # a v2-format file (no "enc" map, raw arrays) still loads identically
+    real_enc = plan_mod._encode_arrays
+    plan_mod._encode_arrays = lambda arrs: (arrs, {})
+    try:
+        p2 = tmp_path / "v2.npz"
+        save_plan(plan, str(p2))
+    finally:
+        plan_mod._encode_arrays = real_enc
+    arrays = dict(np.load(str(p2), allow_pickle=False))
+    header = json.loads(bytes(arrays["header"]).decode("utf-8"))
+    assert not header["enc"]
+    header["version"] = 2
+    del header["enc"]
+    arrays["header"] = np.frombuffer(
+        json.dumps(header).encode("utf-8"), dtype=np.uint8
+    )
+    with open(p2, "wb") as f:
+        np.savez(f, **arrays)
+    loaded2 = load_plan(str(p2))
+    np.testing.assert_array_equal(
+        loaded2.luma.spec.frac_x, plan.luma.spec.frac_x
+    )
+
+
 def test_plan_file_is_pickle_free_npz(tmp_path):
     """The plan format must be loadable with allow_pickle=False and carry
     a version header that rejects unknown versions (no code execution on

@@ -197,7 +197,16 @@ PLAN_FORMAT = "transform360_tpu-plan"
 #     (measured cold-start: flagship 4K ~4.6 s -> ~1.4 s of pure Python;
 #     the 4K->3072 cubic plan ~12.4 s -> load-bound).  v1 files still
 #     load (kernel plans rebuild lazily as before).
-PLAN_FORMAT_VERSION = 2
+# v3: exact quantized array storage.  Every payload value is already
+#     low-entropy by construction — fractions/tap weights derive from the
+#     1/32 cv::convertMaps quantization (sampling.py: INTER_TAB_SIZE), so
+#     a float32 array holds at most a few dozen distinct values, and lane
+#     index rows are window-relative u8-range offsets — so integer arrays
+#     downcast to the smallest dtype that holds their range and float
+#     arrays with few distinct values store as a value table + u8/u16
+#     codes.  Reconstruction is bit-exact (the decoder gathers the very
+#     float32 values that were saved).  v1/v2 files still load.
+PLAN_FORMAT_VERSION = 3
 
 _ENUM_FIELDS = {
     "input_layout": Layout,
@@ -206,6 +215,64 @@ _ENUM_FIELDS = {
     "output_stereo_format": StereoFormat,
     "interpolation_alg": Interpolation,
 }
+
+
+# ---- v3 exact quantized array codec -------------------------------------
+
+def _encode_arrays(arrays: Dict[str, np.ndarray]):
+    """Shrink plan arrays losslessly for storage (see v3 note above).
+
+    Returns ``(packed, enc)`` where ``enc`` maps an array name to its
+    encoding record: ``{"c": "int", "dtype": d}`` (integer downcast —
+    restore by casting back to ``d``) or ``{"c": "dict", "dtype": d}``
+    (value-table lookup: ``name`` holds the codes, ``name.enc_uniq`` the
+    table).  Arrays that gain nothing stay raw and get no record.
+    """
+    packed: Dict[str, np.ndarray] = {}
+    enc: Dict[str, dict] = {}
+    for k, a in arrays.items():
+        a = np.asarray(a)
+        if a.dtype.kind in "iu" and a.size and a.itemsize > 1:
+            lo, hi = int(a.min()), int(a.max())
+            for dt in (np.uint8, np.int16, np.uint16, np.int32):
+                info = np.iinfo(dt)
+                if info.min <= lo and hi <= info.max:
+                    break
+            if np.dtype(dt).itemsize < a.itemsize:
+                packed[k] = a.astype(dt)
+                enc[k] = {"c": "int", "dtype": a.dtype.name}
+                continue
+        elif a.dtype.kind == "f" and a.size > 4096:
+            uniq, codes = np.unique(a, return_inverse=True)
+            if uniq.size <= np.iinfo(np.uint16).max + 1:
+                ct = np.uint8 if uniq.size <= 256 else np.uint16
+                packed[k] = codes.astype(ct).reshape(a.shape)
+                packed[f"{k}.enc_uniq"] = uniq
+                enc[k] = {"c": "dict", "dtype": a.dtype.name}
+                continue
+        packed[k] = a
+    return packed, enc
+
+
+class _DecodingReader:
+    """Read-through view of a plan .npz that undoes the v3 encoding, so
+    the v1/v2 loaders index it unchanged."""
+
+    def __init__(self, data, enc: Dict[str, dict]):
+        self._data = data
+        self._enc = enc
+
+    def __contains__(self, k: str) -> bool:
+        return k in getattr(self._data, "files", self._data)
+
+    def __getitem__(self, k: str) -> np.ndarray:
+        a = self._data[k]
+        e = self._enc.get(k)
+        if e is None:
+            return a
+        if e["c"] == "int":
+            return a.astype(e["dtype"])
+        return self._data[f"{k}.enc_uniq"].astype(e["dtype"])[a]
 
 
 def _plane_arrays(prefix: str, pp: PlanePlan) -> Dict[str, np.ndarray]:
@@ -459,6 +526,12 @@ def save_plan(
             km, ka = _lane_plan_meta_and_arrays("chroma", plan.chroma)
             kernel_meta["chroma"] = km
             kernel_arrays.update(ka)
+    payload = {
+        **_plane_arrays("luma", plan.luma),
+        **({} if plan.chroma is None else _plane_arrays("chroma", plan.chroma)),
+        **kernel_arrays,
+    }
+    packed, enc = _encode_arrays(payload)
     header = {
         "format": PLAN_FORMAT,
         "version": PLAN_FORMAT_VERSION,
@@ -475,14 +548,13 @@ def save_plan(
         "luma": _plane_meta(plan.luma),
         "chroma": None if plan.chroma is None else _plane_meta(plan.chroma),
         "kernel_plans": kernel_meta,
+        "enc": enc,
     }
     arrays = {
         "header": np.frombuffer(
             json.dumps(header).encode("utf-8"), dtype=np.uint8
         ),
-        **_plane_arrays("luma", plan.luma),
-        **({} if plan.chroma is None else _plane_arrays("chroma", plan.chroma)),
-        **kernel_arrays,
+        **packed,
     }
     with open(path, "wb") as f:
         np.savez(f, **arrays)
@@ -493,18 +565,20 @@ def load_plan(path: str) -> TransformPlan:
 
     Derived per-backend artifacts (the Pallas kernel plan) are rebuilt from
     the loaded spec — only plan-time *data* lives in the file."""
-    with np.load(path, allow_pickle=False) as data:
+    with np.load(path, allow_pickle=False) as raw:
         try:
-            header = json.loads(bytes(data["header"]).decode("utf-8"))
+            header = json.loads(bytes(raw["header"]).decode("utf-8"))
         except KeyError:
             raise ValueError(f"{path} is not a transform360_tpu plan file")
         if header.get("format") != PLAN_FORMAT:
             raise ValueError(f"{path} is not a transform360_tpu plan file")
-        if header.get("version") not in (1, PLAN_FORMAT_VERSION):
+        if header.get("version") not in (1, 2, PLAN_FORMAT_VERSION):
             raise ValueError(
                 f"unsupported plan version {header.get('version')!r} "
-                f"(supported: 1, {PLAN_FORMAT_VERSION})"
+                f"(supported: 1, 2, {PLAN_FORMAT_VERSION})"
             )
+        # v3 quantized arrays decode on access; v1/v2 have no "enc" map
+        data = _DecodingReader(raw, header.get("enc") or {})
         cfg_d = dict(header["cfg"])
         for k, enum_t in _ENUM_FIELDS.items():
             cfg_d[k] = enum_t(cfg_d[k])
