@@ -115,10 +115,12 @@ class Transform360:
     def transform(self, y, u=None, v=None):
         """Transform one frame or a batch of planar frames.
 
-        ``y``: uint8 [H, W] or [B, H, W]; ``u``/``v`` the chroma planes
-        (omit for single-plane formats like gray).  Maps are generated
-        lazily on the first frame, like the reference filter.  Returns
-        numpy uint8 planes (a bare array for single-plane formats).
+        ``y``: [H, W] or [B, H, W] samples in the format's dtype (uint8;
+        uint16 for the deep ``*10le``/``*12le`` formats); ``u``/``v`` the
+        chroma planes (omit for single-plane formats like gray).  Maps
+        are generated lazily on the first frame, like the reference
+        filter.  Returns numpy planes in the same dtype (a bare array
+        for single-plane formats).
         """
         out = self.transform_async(y, u, v)
         if isinstance(out, tuple):
@@ -161,6 +163,12 @@ class Transform360:
         from . import native
 
         pf = self._pix_fmt
+        if pf.depth > 8:
+            raise ValueError(
+                f"the native (C++) engine is 8-bit only — {pf.name} "
+                "requires the default JAX backend (the reference engine "
+                "wraps planes as CV_8U, VideoFrameTransform.cpp:1331-1335)"
+            )
         planes = [np.asarray(p, np.uint8) for p in (y, u, v) if p is not None]
         if len(planes) != pf.n_planes:
             raise ValueError(

@@ -434,12 +434,35 @@ class PixelFormat:
     """Planar pixel-format descriptor — the fields of FFmpeg's
     ``AVPixFmtDescriptor`` that the reference filter actually reads
     (``vf_transform360.c:87-97``: ``log2_chroma_w/h``; ``:368-372``:
-    the plane count via the frame's data pointers)."""
+    the plane count via the frame's data pointers), plus the per-sample
+    bit depth.  The reference wraps every plane as CV_8U bytes
+    (``VideoFrameTransform.cpp:1331-1335``) and would CORRUPT >8-bit
+    planes; the deep formats here are an intentional capability beyond
+    it: samples are little-endian 16-bit containers (ffmpeg ``*le``),
+    computed in float32 on the XLA path with rounding/saturation at the
+    format's real maximum."""
 
     name: str
     n_planes: int
     log2_chroma_w: int
     log2_chroma_h: int
+    depth: int = 8
+
+    @property
+    def dtype(self):
+        import numpy as np
+
+        return np.dtype(np.uint8 if self.depth <= 8 else "<u2")
+
+    @property
+    def maxval(self) -> int:
+        return (1 << self.depth) - 1
+
+    @property
+    def neutral(self) -> int:
+        """Neutral chroma / barrel UV fill (128 at 8 bit,
+        VideoFrameTransform.cpp:743-762, scaled with depth)."""
+        return 1 << (self.depth - 1)
 
 
 PIXEL_FORMATS = {
@@ -463,6 +486,18 @@ PIXEL_FORMATS = {
         # even though the planes hold B/R, not chroma).
         PixelFormat("gbrp", 3, 0, 0),
         PixelFormat("gray", 1, 0, 0),
+        # High-bit-depth planar formats (beyond the reference — see the
+        # class docstring).  These route to the XLA compute path; the
+        # uint8-specialized Pallas kernels do not serve them.
+        PixelFormat("yuv420p10le", 3, 1, 1, depth=10),
+        PixelFormat("yuv422p10le", 3, 1, 0, depth=10),
+        PixelFormat("yuv444p10le", 3, 0, 0, depth=10),
+        PixelFormat("yuv420p12le", 3, 1, 1, depth=12),
+        PixelFormat("yuv422p12le", 3, 1, 0, depth=12),
+        PixelFormat("yuv444p12le", 3, 0, 0, depth=12),
+        PixelFormat("gray10le", 1, 0, 0, depth=10),
+        PixelFormat("gray12le", 1, 0, 0, depth=12),
+        PixelFormat("gray16le", 1, 0, 0, depth=16),
     )
 }
 PIXEL_FORMATS["gray8"] = PIXEL_FORMATS["gray"]

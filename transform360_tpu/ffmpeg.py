@@ -600,9 +600,11 @@ def pipe_format(src_fmt: str) -> str:
     shifts from the descriptor (``vf_transform360.c:87-97,107-108``).
     Formats in the pipeline's registry pass through losslessly (yuvj*
     renamed to their byte-identical yuv* twin — the rawvideo pipe has no
-    JPEG-range tag); anything else (packed, semi-planar, alpha, >8-bit)
-    converts to yuv420p with a loud warning, since the TPU pipeline is
-    8-bit planar.
+    JPEG-range tag), INCLUDING the 10/12-bit ``*le`` planar formats,
+    which the pipeline computes natively in 16-bit containers (beyond
+    the reference, which wraps planes as CV_8U bytes and corrupts them —
+    ``VideoFrameTransform.cpp:1331-1335``); anything else (packed,
+    semi-planar, alpha) converts to yuv420p with a loud warning.
     """
     from .config import PIXEL_FORMATS
 
@@ -844,7 +846,12 @@ def main(argv=None) -> int:
             t.transform_async, inq, pf.n_planes, batch, prefetch, stats
         ):
             for p in planes:
-                enc.stdin.write(np.ascontiguousarray(p, np.uint8).tobytes())
+                p = np.ascontiguousarray(p)
+                if p.dtype == np.uint16:
+                    p = p.astype("<u2")  # deep formats pipe 16-bit LE
+                else:
+                    p = p.astype(np.uint8, copy=False)
+                enc.stdin.write(p.tobytes())
     finally:
         stop.set()
         dec.stdout.close()

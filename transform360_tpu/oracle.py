@@ -643,9 +643,13 @@ def transform_plane(
     out_h: int,
     map_plane_index: int,
     configs: Optional[List[SegmentConfig]] = None,
+    depth16: int = 16,
 ) -> np.ndarray:
     """Oracle per-plane transform: optional prefilter, cv2.remap with the
-    layout-dependent border mode, optional INTER_AREA downscale."""
+    layout-dependent border mode, optional INTER_AREA downscale.
+
+    ``depth16``: real sample bit depth when ``plane`` is uint16 (the deep
+    formats store 10/12-bit samples in 16-bit containers)."""
     assert cv2 is not None, "oracle transform requires opencv-python"
     is_barrel = cfg.output_layout in (Layout.BARREL, Layout.BARREL_SPLIT)
     border = cv2.BORDER_TRANSPARENT if is_barrel else cv2.BORDER_WRAP
@@ -659,7 +663,10 @@ def transform_plane(
         temp = filter_plane(cfg, plane, configs)
 
     need_resize = out_h != warp.shape[0] or out_w != warp.shape[1]
-    fill = 128 if map_plane_index else 0
+    # barrel UV pre-fill 128 (VideoFrameTransform.cpp:743-762), scaled to
+    # the format's neutral for the deep (>8-bit, uint16) formats
+    depth = 8 if plane.dtype == np.uint8 else int(depth16 or 16)
+    fill = (128 << (depth - 8)) if map_plane_index else 0
     dst = np.full(warp.shape[:2], fill, plane.dtype)
     dst = cv2.remap(
         temp,
@@ -709,7 +716,12 @@ def transform_frame_planar(
         if cfg.enable_low_pass_filter
         else None
     )
-    outs = [transform_plane(cfg, planes[0], warp_luma, out_w, out_h, 0, cfgs_l)]
+    outs = [
+        transform_plane(
+            cfg, planes[0], warp_luma, out_w, out_h, 0, cfgs_l,
+            depth16=pf.depth,
+        )
+    ]
     if pf.n_planes > 1:
         c_in_w, c_in_h = chroma_dims(in_w, in_h, pf)
         c_out_w, c_out_h = chroma_dims(out_w, out_h, pf)
@@ -723,6 +735,9 @@ def transform_frame_planar(
         )
         for p in planes[1:]:
             outs.append(
-                transform_plane(cfg, p, warp_c, c_out_w, c_out_h, 1, cfgs_c)
+                transform_plane(
+                    cfg, p, warp_c, c_out_w, c_out_h, 1, cfgs_c,
+                    depth16=pf.depth,
+                )
             )
     return tuple(outs)

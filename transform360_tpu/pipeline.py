@@ -233,8 +233,19 @@ def _round_u8(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.clip(jnp.floor(x + 0.5), 0.0, 255.0).astype(jnp.uint8)
 
 
+def _round_px(x: jnp.ndarray, maxval: float, dtype) -> jnp.ndarray:
+    """OpenCV-style half-up rounding saturated to the sample maximum
+    (255 at 8 bit; 1023/4095/65535 for the deep formats)."""
+    return jnp.clip(jnp.floor(x + 0.5), 0.0, float(maxval)).astype(dtype)
+
+
 def _use_pallas(pp: PlanePlan) -> bool:
     if os.environ.get("TRANSFORM360_FORCE_XLA") == "1":
+        return False
+    if pp.depth > 8:
+        # the lane/window kernels are uint8-specialized; deep formats
+        # run the XLA path (an intentional capability beyond the
+        # reference, which corrupts >8-bit planes — see config.PixelFormat)
         return False
     if not pallas_eligible(pp.spec):
         return False
@@ -242,8 +253,16 @@ def _use_pallas(pp: PlanePlan) -> bool:
 
 
 def _plane_program(pp: PlanePlan, use_pallas: bool, interpret: bool = False):
-    """Traceable per-plane program: uint8 [B, H, W] → uint8 [B, oh, ow]."""
+    """Traceable per-plane program: [B, H, W] samples in the plan's
+    dtype (uint8, or uint16 for deep formats) → same dtype [B, oh, ow]."""
     spec = pp.spec
+    if pp.depth <= 8:
+        rnd = _round_u8
+    else:
+        mx, dt = float((1 << pp.depth) - 1), jnp.uint16
+
+        def rnd(v):
+            return _round_px(v, mx, dt)
 
     def program(x):
         lane = None
@@ -253,7 +272,7 @@ def _plane_program(pp: PlanePlan, use_pallas: bool, interpret: bool = False):
             out = _lane_chunked(pp, lane, x, interpret)
         else:
             if pp.blur is not None:
-                x = _round_u8(apply_blur(pp.blur, x.astype(jnp.float32)))
+                x = rnd(apply_blur(pp.blur, x.astype(jnp.float32)))
             if use_pallas:
                 out = remap_pallas(pp.pallas.get(), x, interpret=interpret)
                 fix = _fixup(pp)
@@ -283,9 +302,9 @@ def _plane_program(pp: PlanePlan, use_pallas: bool, interpret: bool = False):
                     )
                 else:
                     scaled = remap_const(spec, flat, float(pp.fill))
-                out = _round_u8(scaled).reshape(-1, pp.scaled_h, pp.scaled_w)
+                out = rnd(scaled).reshape(-1, pp.scaled_h, pp.scaled_w)
         if pp.area_row is not None:
-            out = _round_u8(
+            out = rnd(
                 apply_area_resize(
                     out.astype(jnp.float32),
                     staged(pp.area_row),

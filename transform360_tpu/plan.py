@@ -79,9 +79,10 @@ class PlanePlan:
     out_h: int
     scaled_w: int  # warp-map dims (== out dims unless supersampling)
     scaled_h: int
-    fill: int  # transparent-border fill: 0 luma, 128 chroma
+    fill: int  # transparent-border fill: 0 luma, neutral chroma (128<<d-8)
     area_row: Optional[np.ndarray]  # [out_h, scaled_h]
     area_col: Optional[np.ndarray]  # [out_w, scaled_w]
+    depth: int = 8  # sample bit depth; >8 routes to the XLA path (u16)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -104,6 +105,7 @@ def _build_plane_plan(
     out_w: int,
     out_h: int,
     map_plane_index: int,
+    depth: int = 8,
 ) -> PlanePlan:
     """Build one plane-class plan (generateMapForPlane analog,
     VideoFrameTransform.cpp:504-576)."""
@@ -117,10 +119,15 @@ def _build_plane_plan(
     blur = build_blur_plan(cfg, in_w, in_h, scaled_w, scaled_h)
     need_resize = (scaled_w != out_w) or (scaled_h != out_h)
     key = f"{cfg.cache_key()}:{in_w}x{in_h}:{out_w}x{out_h}:p{map_plane_index}"
+    if depth != 8:
+        key += f":d{depth}"
+    # barrel UV fill 128 (VideoFrameTransform.cpp:743-762), scaled to the
+    # format's neutral value at higher bit depths
+    fill = (128 << (depth - 8)) if map_plane_index else 0
     return PlanePlan(
         key=key,
         spec=spec,
-        pallas=_LazyWindowPlan(spec, 128.0 if map_plane_index else 0.0),
+        pallas=_LazyWindowPlan(spec, float(fill)),
         blur=blur,
         in_w=in_w,
         in_h=in_h,
@@ -128,9 +135,10 @@ def _build_plane_plan(
         out_h=out_h,
         scaled_w=scaled_w,
         scaled_h=scaled_h,
-        fill=128 if map_plane_index else 0,
+        fill=fill,
         area_row=area_matrix(scaled_h, out_h) if need_resize else None,
         area_col=area_matrix(scaled_w, out_w) if need_resize else None,
+        depth=depth,
     )
 
 
@@ -164,14 +172,18 @@ def build_plan(
     if pf.n_planes > 1:
         c_in_w, c_in_h = chroma_dims(in_w, in_h, pf)
         c_out_w, c_out_h = chroma_dims(out_w, out_h, pf)
-        chroma = _build_plane_plan(cfg, c_in_w, c_in_h, c_out_w, c_out_h, 1)
+        chroma = _build_plane_plan(
+            cfg, c_in_w, c_in_h, c_out_w, c_out_h, 1, depth=pf.depth
+        )
     plan = TransformPlan(
         cfg=cfg,
         in_w=in_w,
         in_h=in_h,
         out_w=out_w,
         out_h=out_h,
-        luma=_build_plane_plan(cfg, in_w, in_h, out_w, out_h, 0),
+        luma=_build_plane_plan(
+            cfg, in_w, in_h, out_w, out_h, 0, depth=pf.depth
+        ),
         chroma=chroma,
         pix_fmt=pf.name,
         n_planes=pf.n_planes,
@@ -304,6 +316,7 @@ def _plane_meta(pp: PlanePlan) -> dict:
         "scaled_w": pp.scaled_w,
         "scaled_h": pp.scaled_h,
         "fill": pp.fill,
+        "depth": pp.depth,
         "wrap": pp.spec.wrap,
         "interp": int(pp.spec.interp),
         "blur": None,
@@ -374,6 +387,7 @@ def _plane_from_npz(prefix: str, meta: dict, data) -> PlanePlan:
         fill=meta["fill"],
         area_row=data[f"{prefix}.area_row"] if has_area else None,
         area_col=data[f"{prefix}.area_col"] if has_area else None,
+        depth=meta.get("depth", 8),
     )
 
 

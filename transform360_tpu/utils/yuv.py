@@ -52,9 +52,9 @@ def frame_size_bytes(w: int, h: int, pix_fmt="yuv420p") -> int:
 
     pf = get_pixel_format(pix_fmt)
     if pf.n_planes == 1:
-        return w * h
+        return w * h * pf.dtype.itemsize
     cw, ch = chroma_dims(w, h, pf)
-    return w * h + (pf.n_planes - 1) * cw * ch
+    return (w * h + (pf.n_planes - 1) * cw * ch) * pf.dtype.itemsize
 
 
 def read_planar_frames(
@@ -70,7 +70,8 @@ def read_planar_frames(
     pf = get_pixel_format(pix_fmt)
     cw, ch = chroma_dims(w, h, pf)
     sizes = [(h, w)] + [(ch, cw)] * (pf.n_planes - 1)
-    total = sum(a * b for a, b in sizes)
+    dt = pf.dtype  # uint8, or little-endian uint16 for deep formats
+    total = sum(a * b for a, b in sizes) * dt.itemsize
     n = 0
     with _open_stream(path, "rb") as f:
         while True:
@@ -80,9 +81,9 @@ def read_planar_frames(
             planes, off = [], 0
             for ph, pw in sizes:
                 planes.append(
-                    np.frombuffer(buf, np.uint8, ph * pw, off).reshape(ph, pw)
+                    np.frombuffer(buf, dt, ph * pw, off).reshape(ph, pw)
                 )
-                off += ph * pw
+                off += ph * pw * dt.itemsize
             yield tuple(planes)
             n += 1
             if max_frames and n >= max_frames:
@@ -125,7 +126,12 @@ def write_yuv420_frames(path_or_file, planes_iter) -> int:
     try:
         for planes in planes_iter:
             for p in planes:
-                f.write(np.ascontiguousarray(p, np.uint8).tobytes())
+                p = np.ascontiguousarray(p)
+                if p.dtype == np.uint16:
+                    p = p.astype("<u2")  # deep formats: explicit LE layout
+                else:
+                    p = p.astype(np.uint8, copy=False)
+                f.write(p.tobytes())
             n += 1
         if not close:
             f.flush()
