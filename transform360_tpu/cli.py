@@ -416,12 +416,18 @@ def main(argv=None) -> int:
             group = devs[(g % n_groups) * n_use:][:n_use]
             g += 1
             tb = time.perf_counter()
-            # "auto": cost-balanced band edges from the fitted window-
-            # class model — frame latency is max(band), and the
-            # flagship's measured per-band imbalance is ~2x
+            # Uniform band edges.  The fitted cost model (row_costs=
+            # "auto") existed for the ~2x equator/pole imbalance of the
+            # pre-CLASS_P kernels; after CLASS_P/CLASS_T the measured
+            # per-row profile is flat (~1.2x) and uniform edges BEAT the
+            # model-balanced ones on chip at every band count
+            # (2026-08-20: max band 9.53 vs 11.74 ms at n=4, 5.51 vs
+            # 6.25 at n=8 — docs/perf.md "Latency sharding").  Uniform
+            # edges also align to supertile rows, avoiding duplicated
+            # edge rows.
             pending.append((tb, transform_frame_banded_async(
                 plan, item, devices=group, n=n_total,
-                row_costs="auto", bands_slice=bslice,
+                row_costs=None, bands_slice=bslice,
             )))
             if len(pending) >= n_groups:
                 yield retire()

@@ -81,23 +81,23 @@ def _slice_plane(pp: PlanePlan, y0: int, y1: int) -> PlanePlan:
 _BAND_CACHE: Dict[Tuple, Tuple[TransformPlan, ...]] = {}
 
 # Relative supertile costs of the batch-1 window-gather kernel, fitted
-# ON CHIP against the shipped CLASS_P kernel (2026-08-19, post-90edfc2):
-# the class-peel probe (tools/probe_fb_cost.py — luma classes<=k chain
-# times 17.363 / 20.283 / 23.978 ms over counts R=1240 W=136 P=160)
-# gives per-supertile costs R~14.0us, W marginal ~21.5us, P marginal
-# ~23.1us.  Only the ratios matter for edge placement; these predict the
-# measured 8-band uniform profile's imbalance (4.4-5.7 ms,
-# tools/probe_latency_bands.py) to ~2% (predicted heavy/light band ratio
-# 1.17 vs measured 1.15) where the pre-CLASS_P constants gave 1.09.
-# The fallback subtile ratio is carried from the round-3 fit; the
-# flagship plan has zero fallback subtiles since CLASS_P.
+# ON CHIP against the SHIPPED kernels (2026-08-20, post-CLASS_T) from
+# the class-peel chain probe (tools/probe_fb_cost.py).  The 8-band
+# uniform profile can no longer identify per-class costs on its own —
+# post-CLASS_T the flagship's uniform bands collapse to two distinct
+# class compositions (tools/fit_band_cost.py, NOTES.md round 5) — so the
+# constants come from the peel's marginal costs pooled over luma + 2x
+# chroma: R 14.3 us/supertile (17.857/1240 luma, 4.379/312 chroma), W
+# marginal 16.7 us, T marginal 22.9 us, P marginal 28.2 us.  Validation:
+# the pooled model predicts the measured uniform profile's
+# heavy-vs-light band delta to ~3% (predicted 0.61 ms vs measured
+# 0.59 ms, tools/probe_latency_bands.py 2026-08-20).  The fallback
+# subtile ratio is carried from the round-3 fit; the flagship plan has
+# zero fallback subtiles since CLASS_P.
 _COST_REGULAR = 1.0
-_COST_WIDE = 1.54
-# Tall-group class (128x640/96, round 4): W's chunk count with P's group
-# height — costed at the wide rate pending an on-chip refit (its body is
-# the W body over a taller sub-window).
-_COST_TALL = 1.54
-_COST_POLAR = 1.65
+_COST_WIDE = 1.17
+_COST_TALL = 1.61
+_COST_POLAR = 1.98
 _COST_FB_SUBTILE = 1.93
 
 
@@ -106,12 +106,15 @@ def plan_row_costs(plan: TransformPlan) -> Optional[np.ndarray]:
 
     Counts each plane's window-gather supertiles per output row (chroma
     rows mapped through the subsampling ratio; U and V each run the
-    chroma plan) weighted by the fitted class costs above — so
+    chroma plan) weighted by the fitted class costs above, so
     :func:`band_plans` can place cost-balanced edges WITHOUT a
-    measurement pass (frame latency is max(band); the flagship's
-    measured equator/pole imbalance is ~2x).  Verified against the
-    measured per-band profile: max |pred - measured| = 0.15 ms on
-    4.8-9.7 ms bands (tools/fit_band_cost.py).
+    measurement pass.  HISTORICAL NOTE (2026-08-20): this model was
+    built for the ~2x equator/pole imbalance of the pre-CLASS_P
+    kernels; the shipped CLASS_P/CLASS_T kernels flattened the profile
+    to ~1.2x and UNIFORM edges now measure better at every band count
+    (docs/perf.md "Latency sharding") — the CLI defaults to uniform and
+    this model stays for configs whose plans are genuinely imbalanced
+    (e.g. off-center projections).
 
     Triggers the plan's deferred window-plan build (seconds at 4K,
     one-time, memoized on the plan).  Returns None when a plane has no
@@ -371,7 +374,13 @@ def transform_frame_banded(
 # deliberately conservative v5e-class figures: host->device injection
 # ~8 GB/s effective (PCIe Gen3-era per-host NIC/DMA floor), on-slice
 # replication ~40 GB/s per ICI link (v5e 1D ring neighbor exchange;
-# jax-ml.github.io/scaling-book "rooflines").  Override per deployment.
+# jax-ml.github.io/scaling-book "rooflines").  Override per deployment —
+# and CALIBRATE per deployment: tools/probe_h2d.py measures the host
+# term with a fenced scalar-digest read (2026-08-20 on the development
+# tunnel: 12.44 MB in 341 ms = 0.036 GB/s — the HTTP tunnel, 200x below
+# the PCIe-class default; a production host must re-run the probe).  The
+# ICI term is unmeasurable with one chip and stays a model; perf.md
+# quotes every banded projection with that caveat.
 HOST_INJECT_GBPS = 8.0
 ICI_GBPS = 40.0
 

@@ -62,14 +62,12 @@ from .sampling import (
 # Batch size at or above which the lane-batched kernel (batch in vector
 # lanes) is preferred.  A padded lane pass costs the same regardless of
 # how many of the 128 lanes hold real frames (the minor dim is
-# hardware-padded either way): 106 ms plain, ~100-104 ms pair-packed
-# (flagship, tools/probe_pack_cost.py), while the window-gather path
-# costs per 8-frame chunk 103.3 ms at batch 8 / 67.3 at 4 / 51.0 at 2 /
-# 54.6 at 1 (tools/probe_small_batch.py).  Crossover: at batch 8 the
-# two paths tie (102.7 vs 103.3 ms) — the lane kernel is preferred for
-# the shared program shape; below 8 the window chunks are cheaper.
-# tools/psnr_check.py forces BOTH paths so each keeps real-chip
-# fidelity evidence.
+# hardware-padded either way): 106 ms plain, 95.4 ms merged-pack2
+# (flagship), while the window-gather path costs 100.8 ms at batch 8 /
+# 63.5 at 4 / 43.5 at 2 / 35.3 at 1 (tools/probe_small_batch.py,
+# 2026-08-20 post-CLASS_T).  Crossover: lane wins from batch 8 (95.4 vs
+# 100.8); below 8 the window chunks are cheaper.  tools/psnr_check.py
+# forces BOTH paths so each keeps real-chip fidelity evidence.
 LANE_MIN_BATCH = int(os.environ.get("TRANSFORM360_LANE_MIN_BATCH", "8"))
 
 # Low-occupancy tile packing: at batch <= 128/K the real frames are
