@@ -34,6 +34,7 @@ def _run(name, *args):
         ("02_batch_and_mesh.py", ()),
         ("03_plan_cache.py", ()),
         ("04_native_backend.py", ()),
+        ("06_deep_formats.py", ("--cpu",)),
     ],
 )
 def test_example_runs(name, args):
