@@ -246,6 +246,43 @@ def test_cli_consumer_failure_releases_reader(tmp_path, rng):
     assert threading.active_count() <= before
 
 
+def test_cli_deep_format_raw_roundtrip(tmp_path, rng):
+    """The CLI transforms a raw 10-bit (yuv420p10le) stream end-to-end:
+    uint16 LE planes in, uint16 LE planes out, matching the library
+    transform exactly (deep formats are beyond the reference — see
+    docs/parity.md)."""
+    from transform360_tpu import open_filter
+    from transform360_tpu.utils.yuv import (
+        read_planar_frames,
+        write_yuv420_frames,
+    )
+
+    w, h = 64, 32
+    cw, ch = chroma_dims(w, h)
+    y = rng.integers(0, 1024, (2, h, w), dtype=np.uint16)
+    u = rng.integers(0, 1024, (2, ch, cw), dtype=np.uint16)
+    v = rng.integers(0, 1024, (2, ch, cw), dtype=np.uint16)
+    path = tmp_path / "in10.yuv"
+    write_yuv420_frames(str(path), zip(y, u, v))
+    out = tmp_path / "out10.yuv"
+    rc = cli_main(
+        ["--vf", "w=32:h=16:enable_low_pass_filter=0", "--input-size",
+         f"{w}x{h}", "--pix-fmt", "yuv420p10le", "-i", str(path),
+         "-o", str(out)]
+    )
+    assert rc == 0
+    t = open_filter(
+        "w=32:h=16:enable_low_pass_filter=0", w, h, pix_fmt="yuv420p10le"
+    )
+    want = t.transform(y, u, v)
+    frames = list(read_planar_frames(str(out), 32, 16, 0, "yuv420p10le"))
+    assert len(frames) == 2
+    for k, planes in enumerate(frames):
+        for got, exp in zip(planes, want):
+            assert got.dtype == np.dtype("<u2")
+            np.testing.assert_array_equal(got, exp[k])
+
+
 def test_cli_output_validation_before_reader(tmp_path, rng):
     """Invalid output combos (non-420 pix-fmt + container output) must be
     rejected before the decode thread starts."""
