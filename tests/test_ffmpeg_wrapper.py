@@ -311,13 +311,53 @@ def test_complex_split_rejects_map_of_internal_pipe_label():
         )
 
 
+def test_complex_split_tees_source_fed_split_crossing():
+    """A crossing label from a source-fed split chain is tee'd: decode
+    keeps the transform branch, encode re-creates the crossing branch
+    from the renumbered source input (the reference runs in-process and
+    handles any graph, vf_transform360.c:1013-1023)."""
+    cs = wrap.split_complex_graph(
+        [("-filter_complex",
+          "[0:v]split[a][b];[a]transform360=w=64[t];[t][b]overlay[v]"),
+         ("-map", "[v]")]
+    )
+    assert cs.dec_fc == "[0:v]null[a]" and cs.dec_map == "[a]"
+    assert cs.enc_fc == "[0:v]null[t];[t][b]overlay[v];[1:v]null[b]"
+    assert cs.needs_src_inputs is True
+
+    # pre-split filters are duplicated onto both sides
+    cs = wrap.split_complex_graph(
+        [("-filter_complex",
+          "[0:v]hflip,split[a][b];[a]transform360=w=64[t];"
+          "[t][b]overlay[v]"),
+         ("-map", "[v]")]
+    )
+    assert cs.dec_fc == "[0:v]hflip[a]"
+    assert "[1:v]hflip[b]" in cs.enc_fc
+
+    # a 3-way split with two crossing branches keeps a split on the
+    # encode side
+    cs = wrap.split_complex_graph(
+        [("-filter_complex",
+          "[0:v]split=3[a][b][c];[a]transform360=w=64[t];"
+          "[t][b]overlay[x];[x][c]overlay[v]"),
+         ("-map", "[v]")]
+    )
+    assert cs.dec_fc == "[0:v]null[a]"
+    assert "[1:v]split=2[b][c]" in cs.enc_fc
+
+
 def test_complex_split_rejects_second_crossing_link():
-    """A split whose branches land on both sides of the transform cut
-    cannot be piped through one raw stream."""
+    """A crossing link NOT re-creatable from a source (its producing
+    chain does not end in a source-fed split) cannot be piped through
+    one raw stream."""
     for graph, maps in [
-        # [b] produced upstream, consumed downstream
-        ("[0:v]split[a][b];[a]transform360=w=64[t];[t][b]overlay[v]",
+        # [b] produced by a non-split chain, consumed downstream
+        ("[0:v]hflip[a][b];[a]transform360=w=64[t];[t][b]overlay[v]",
          [("-map", "[v]")]),
+        # split chain fed by an internal label, not a source
+        ("[0:v]scale=64:32[s];[s]split[a][b];[a]transform360=w=64[t];"
+         "[t][b]overlay[v]", [("-map", "[v]")]),
         # upstream chain output never consumed before the transform
         ("[0:v]split[a][b];[a]transform360=w=64[v]", [("-map", "[v]")]),
         # map of a decode-side label

@@ -36,10 +36,12 @@ single-stream graphs rewrite into the ``-vf`` form
 (:func:`rewrite_filter_complex`), and multi-chain graphs (upstream
 scale/hstack chains, downstream overlay/drawtext/audio chains, extra
 inputs) run their upstream sub-graph in the decode command and the
-rest in the encode command (:func:`split_complex_graph`).  Graphs
-where a second link would cross the cut (e.g. a ``split`` feeding
-both sides) error with a rewrite hint.  ffmpeg options unknown to the
-tokenizer are assumed to take one value (flag-style options are
+rest in the encode command (:func:`split_complex_graph`).  A second
+crossing link IS handled when it comes from a source-fed
+``split``/``asplit`` chain (the common tee shape): the crossing branch
+is re-created on the encode side from the same source input.  Other
+crossing shapes error with a rewrite hint.  ffmpeg options unknown to
+the tokenizer are assumed to take one value (flag-style options are
 special-cased in ``FLAG_OPTS``).
 """
 
@@ -51,7 +53,7 @@ import re
 import subprocess
 import sys
 import time
-from typing import List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -319,9 +321,12 @@ def split_complex_graph(out_opts):
     label) run in the decode command, every other chain — overlays,
     audio chains, post filters — runs in the encode command with the
     transformed video piped in as input 0 and the source files shifted
-    one input slot up.  Graphs where some other link would cross the cut
-    (e.g. a ``split`` whose branches land on both sides) error with the
-    rewrite hint.
+    one input slot up.  A ``split``/``asplit`` chain fed directly by
+    source streams whose branches land on both sides is TEE'd: the
+    decode side keeps the transform branch, the encode side re-creates
+    the crossing branch from the renumbered source (pre-split filters
+    run on both sides — deterministic-filter territory).  Any other
+    crossing link errors with the rewrite hint.
 
     Returns a :class:`ComplexSplit`, or ``None`` when no multi-chain
     transform360 ``-filter_complex`` is present (single-chain graphs stay
@@ -406,15 +411,50 @@ def split_complex_graph(out_opts):
         if ci != t_idx and ci not in upstream
     ]
 
-    # the transform stream must be the ONLY link crossing the cut
+    # the transform stream must be the ONLY link crossing the cut — with
+    # one mechanical exception: a crossing label produced by a SOURCE-fed
+    # chain ending in split/asplit can be tee'd (the decode side keeps
+    # the pre-split body for the transform branch; the encode side
+    # re-creates the crossing branch from the same source input, shifted
+    # one slot).  Pre-split filters then run in both subprocesses —
+    # fine for deterministic filters, which video filters are.
+    crossing: Dict[int, list] = {}
     for ci in down_idx:
         for lbl in chains[ci][0]:
             if not _is_source(lbl) and produced.get(lbl) in upstream:
-                raise UsageError(
-                    f"-filter_complex label {lbl} is produced before "
-                    "transform360 but consumed after it — a second link "
-                    "would cross the transform cut; " + _FC_HINT
-                )
+                ls = crossing.setdefault(produced[lbl], [])
+                if lbl not in ls:
+                    ls.append(lbl)
+    dec_override = {}
+    tee_chains = []
+    tee_src = False
+    for pi, lbls in crossing.items():
+        ins, body, outs = chains[pi]
+        elems = split_filterchain(body)
+        name = elems[-1].partition("=")[0].strip()
+        if name not in ("split", "asplit") or any(
+            not _is_source(l) for l in ins
+        ):
+            raise UsageError(
+                f"-filter_complex label {lbls[0]} is produced before "
+                "transform360 but consumed after it — a second link "
+                "would cross the transform cut; " + _FC_HINT
+            )
+        null = "null" if name == "split" else "anull"
+        outs_up = [l for l in outs if l not in lbls]
+        outs_down = [l for l in outs if l in lbls]
+
+        def branch(pre, outs_side):
+            if len(outs_side) > 1:
+                pre = pre + [f"{name}={len(outs_side)}"]
+            return ",".join(pre or [null]) + "".join(outs_side)
+
+        dec_override[pi] = "".join(ins) + branch(elems[:-1], outs_up)
+        tee_chains.append(
+            "".join(_renumber_label(l, 1) for l in ins)
+            + branch(elems[:-1], outs_down)
+        )
+        tee_src = tee_src or any(_is_source(l) for l in ins)
     consumed = {
         lbl
         for ins, _, _ in chains
@@ -431,8 +471,12 @@ def split_complex_graph(out_opts):
                 )
 
     # ---- decode side: upstream chains + the pre-transform segment
+    # (tee'd split chains keep only their upstream branch here)
     dec_chains = [
-        "".join(chains[ci][0]) + chains[ci][1] + "".join(chains[ci][2])
+        dec_override.get(
+            ci,
+            "".join(chains[ci][0]) + chains[ci][1] + "".join(chains[ci][2]),
+        )
         for ci in sorted(upstream)
     ]
     if pre:
@@ -461,6 +505,7 @@ def split_complex_graph(out_opts):
             + body
             + "".join(outs)
         )
+    enc_chains.extend(tee_chains)
     enc_fc = ";".join(enc_chains) if enc_chains else None
 
     # output options: drop the -filter_complex, renumber plain -map
@@ -468,7 +513,7 @@ def split_complex_graph(out_opts):
     # on the decode side cannot be mapped into the output)
     enc_labels = {lbl for c in enc_chains for lbl in _parse_chain(c)[2]}
     new_opts = []
-    needs_src = any(
+    needs_src = tee_src or any(
         _is_source(l) for ci in down_idx for l in chains[ci][0]
     )
     for i, (k2, v2) in enumerate(out_opts):
