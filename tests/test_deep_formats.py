@@ -154,6 +154,22 @@ def test_deep_plan_save_load_transforms_identically(tmp_path, rng):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+def test_deep_latency_banding_byte_identical(rng):
+    """Latency banding must carry the depth through the band plans: a
+    10-bit frame banded over 2 devices matches the unsharded transform
+    byte for byte."""
+    from transform360_tpu.parallel.latency import transform_frame_banded
+
+    cfg = TransformConfig(**MONO)
+    planes = _deep_planes(256, 128, "yuv420p10le", rng)
+    plan = build_plan(cfg, 256, 128, 96, 64, "yuv420p10le")
+    want = [np.asarray(p) for p in transform_batch(plan, *planes)]
+    got = transform_frame_banded(plan, planes, n=2)
+    for g, w in zip(got, want):
+        assert g.dtype == np.uint16
+        np.testing.assert_array_equal(g, w)
+
+
 def test_deep_rejected_on_native_backend():
     from transform360_tpu.api import open_filter
 
