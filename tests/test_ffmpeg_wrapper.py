@@ -43,6 +43,42 @@ def test_tokenize_rejects_multiple_outputs_and_missing_output():
         wrap.tokenize(["-i"])
 
 
+def test_tokenize_outputs_multi():
+    inputs, outputs, g = wrap.tokenize_outputs(
+        ["-y", "-i", "in.mp4", "-vf", f"transform360={VF}", "-c:v",
+         "libx264", "out1.mp4", "-c:v", "libx265", "-an", "out2.mp4"]
+    )
+    assert [p for _, p in outputs] == ["out1.mp4", "out2.mp4"]
+    assert outputs[0][0][0] == ("-vf", f"transform360={VF}")
+    assert outputs[1][0] == [("-c:v", "libx265"), ("-an", None)]
+
+
+def test_build_command_extra_passthrough():
+    cmd = wrap.build_command_extra(
+        [([("-ss", "3")], "in.mp4")],
+        [("-c:v", "libx265"), ("-an", None)],
+        "out2.mp4",
+        ["-y"],
+    )
+    assert cmd == ["ffmpeg", "-v", "error", "-nostdin", "-y", "-ss", "3",
+                   "-i", "in.mp4", "-c:v", "libx265", "-an", "out2.mp4"]
+
+
+def test_main_rejects_bad_multi_output_shapes(capsys):
+    # transform in two outputs
+    rc = wrap.main(
+        ["-i", "in.mp4", "-vf", "transform360=w=64", "o1.mp4",
+         "-vf", "transform360=w=64", "o2.mp4"]
+    )
+    assert rc == 2 and "more than one output" in capsys.readouterr().err
+    # filter_complex transform with a second output
+    rc = wrap.main(
+        ["-i", "in.mp4", "-filter_complex", "[0:v]transform360=w=64[v]",
+         "-map", "[v]", "o1.mp4", "-an", "o2.mp4"]
+    )
+    assert rc == 2 and "-filter_complex" in capsys.readouterr().err
+
+
 def test_split_filterchain_quoting():
     assert wrap.split_filterchain("scale=640:320,transform360=w=64") == [
         "scale=640:320", "transform360=w=64",

@@ -29,8 +29,14 @@ Wrapper-only knobs (stripped before ffmpeg parsing, or env vars):
 ``--t360-prefetch N`` / ``T360_PREFETCH`` (batches in flight, default 1),
 ``--t360-stats`` (JSON stats line on stderr).
 
-Scope (documented, erroring loudly otherwise): one output file;
-``-filter_complex`` graphs are split mechanically whenever the
+Scope (documented, erroring loudly otherwise): multi-output commands
+run the transform output through the pipe pipeline and every other
+output as its own passthrough ffmpeg process against the source (ffmpeg
+applies ``-vf`` per output, so non-transform outputs never see the
+transformed stream — plain ffmpeg semantics); transform360 may appear
+in ONE output's filters, and not inside ``-filter_complex`` when there
+are multiple outputs.  ``-filter_complex`` graphs are split
+mechanically whenever the
 transform360 video stream is the ONLY link crossing the cut — linear
 single-stream graphs rewrite into the ``-vf`` form
 (:func:`rewrite_filter_complex`), and multi-chain graphs (upstream
@@ -96,18 +102,19 @@ class UsageError(ValueError):
     pass
 
 
-def tokenize(argv: List[str]):
-    """Partition an ffmpeg argv into input groups and the output group.
+def tokenize_outputs(argv: List[str]):
+    """Partition an ffmpeg argv into input groups and OUTPUT groups.
 
-    Returns ``(inputs, out_opts, out_path, globals_)`` where ``inputs``
-    is a list of ``(opts, path)`` — ``opts`` being ``(key, value|None)``
-    pairs that preceded that ``-i`` — and ``out_opts`` the pairs between
-    the last input and the output path.
+    Returns ``(inputs, outputs, globals_)`` where ``inputs`` is a list
+    of ``(opts, path)`` — ``opts`` being ``(key, value|None)`` pairs
+    that preceded that ``-i`` — and ``outputs`` the list of
+    ``(opts, path)`` output groups in order (ffmpeg applies per-output
+    options like ``-vf`` to their own output only).
     """
     inputs: List[Tuple[list, str]] = []
+    outputs: List[Tuple[list, str]] = []
     globals_: List[str] = []
     cur: List[Tuple[str, Optional[str]]] = []
-    out_path = None
     i = 0
     while i < len(argv):
         a = argv[i]
@@ -130,18 +137,28 @@ def tokenize(argv: List[str]):
                 cur.append((a, argv[i + 1]))
                 i += 2
         else:
-            if out_path is not None:
-                raise UsageError(
-                    f"multiple outputs ({out_path!r}, {a!r}) — the "
-                    "transform360 wrapper supports one output file"
-                )
-            out_path = a
-            out_opts, cur = cur, []
+            outputs.append((cur, a))
+            cur = []
             i += 1
     if cur:
         raise UsageError(f"trailing options with no output file: {cur}")
-    if out_path is None:
+    if not outputs:
         raise UsageError("no output file in the command line")
+    return inputs, outputs, globals_
+
+
+def tokenize(argv: List[str]):
+    """Single-output form of :func:`tokenize_outputs` (the shape most of
+    the wrapper machinery consumes): ``(inputs, out_opts, out_path,
+    globals_)``; errors on multi-output commands — ``main`` handles
+    those via :func:`tokenize_outputs`."""
+    inputs, outputs, globals_ = tokenize_outputs(argv)
+    if len(outputs) > 1:
+        raise UsageError(
+            f"multiple outputs ({outputs[0][1]!r}, {outputs[1][1]!r}) — "
+            "only one output may carry the transform360 filter"
+        )
+    (out_opts, out_path), = outputs
     return inputs, out_opts, out_path, globals_
 
 
@@ -797,12 +814,68 @@ def build_commands_complex(inputs, cs: "ComplexSplit", out_path, globals_,
     return dec, enc
 
 
+def build_command_extra(inputs, out_opts, out_path, globals_):
+    """Passthrough ffmpeg argv for a NON-transform output of a
+    multi-output command (pure, for tests).
+
+    ffmpeg applies per-output options to their own output, so an output
+    without transform360 sees only the source streams — it runs against
+    the original inputs with exactly its own option group, preserving
+    plain ffmpeg stream-selection semantics."""
+    overwrite = [f for f in globals_ if f in ("-y", "-n")]
+    cmd = ["ffmpeg", "-v", "error", "-nostdin", *overwrite]
+    for opts, path in inputs:
+        cmd += [*_flatten(opts), "-i", path]
+    return cmd + _flatten(out_opts) + [out_path]
+
+
 def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     batch, prefetch, want_stats, argv = _extract_t360_opts(argv)
 
     try:
-        inputs, out_opts, out_path, globals_ = tokenize(argv)
+        inputs, outputs, globals_ = tokenize_outputs(argv)
+
+        def _has_t360(opts):
+            return any(
+                "transform360" in (v or "")
+                and (
+                    k in ("-vf", "-filter:v", "-filter_complex")
+                    or k.startswith("-filter:v:")
+                )
+                for k, v in opts
+            )
+
+        extra_outputs: List[Tuple[list, str]] = []
+        if len(outputs) > 1:
+            # ffmpeg applies -vf per OUTPUT: the transform output runs
+            # through the pipe pipeline; every other output sees only the
+            # SOURCE streams, so it runs as its own passthrough ffmpeg
+            # process with exactly its own options — plain ffmpeg
+            # semantics, no stream-mapping surgery
+            if any(
+                k == "-filter_complex" and "transform360" in (v or "")
+                for o, _ in outputs for k, v in o
+            ) or any(
+                p[0] == "-filter_complex" and "transform360" in (p[1] or "")
+                for opts, _ in inputs for p in opts
+            ):
+                raise UsageError(
+                    "multi-output commands with transform360 inside "
+                    "-filter_complex are not supported; put the "
+                    "transform in the -vf of its output"
+                )
+            t_list = [i for i, (o, _) in enumerate(outputs) if _has_t360(o)]
+            if len(t_list) > 1:
+                raise UsageError(
+                    "transform360 appears in more than one output's "
+                    "filters; the wrapper transforms one output stream"
+                )
+            k = t_list[0] if t_list else 0
+            out_opts, out_path = outputs[k]
+            extra_outputs = [o for i, o in enumerate(outputs) if i != k]
+        else:
+            ((out_opts, out_path),) = outputs
         # -filter_complex is a global option: one parked before an -i is
         # hoisted to the output group, then rewritten like any other
         for opts, path in inputs:
@@ -880,6 +953,12 @@ def main(argv=None) -> int:
 
     stats = StageStats(stream=sys.stderr)
     t0 = time.perf_counter()
+    # non-transform outputs of a multi-output command run concurrently
+    # as their own passthrough ffmpeg processes against the source
+    extra_procs = [
+        subprocess.Popen(build_command_extra(inputs, o, p, globals_))
+        for o, p in extra_outputs
+    ]
     dec = subprocess.Popen(dec_cmd, stdout=subprocess.PIPE)
     enc = subprocess.Popen(enc_cmd, stdin=subprocess.PIPE)
     pf = get_pixel_format(fmt)
@@ -902,14 +981,18 @@ def main(argv=None) -> int:
         dec.stdout.close()
         enc.stdin.close()
         rc_dec, rc_enc = dec.wait(), enc.wait()
+        rc_extra = [p.wait() for p in extra_procs]
     dt = time.perf_counter() - t0
 
-    if rc_dec or rc_enc:
+    if rc_dec or rc_enc or any(rc_extra):
         print(
             f"error: ffmpeg subprocess failed (decode rc={rc_dec}, "
-            f"encode rc={rc_enc})", file=sys.stderr,
+            f"encode rc={rc_enc}"
+            + (f", extra outputs rc={rc_extra}" if rc_extra else "")
+            + ")",
+            file=sys.stderr,
         )
-        return rc_dec or rc_enc
+        return rc_dec or rc_enc or max(rc_extra)
     if want_stats:
         stats.emit(
             in_size=f"{in_w}x{in_h}", out_size=f"{out_w}x{out_h}",
