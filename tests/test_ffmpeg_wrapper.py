@@ -517,6 +517,58 @@ def test_wrapper_end_to_end_fake_pipes(pix_fmt, rng, monkeypatch, capsys):
     assert '"frames": 5' in capsys.readouterr().err
 
 
+def test_wrapper_end_to_end_multi_output_fake_pipes(rng, monkeypatch):
+    """Multi-output command: the transform output goes through the
+    pipeline; the second output spawns its own passthrough ffmpeg
+    process against the source with exactly its own options."""
+    from transform360_tpu import open_filter
+    from transform360_tpu.config import chroma_dims
+    from transform360_tpu.utils import video
+
+    w, h, n = 128, 64, 3
+    cw, ch = chroma_dims(w, h)
+    y = rng.integers(0, 256, (n, h, w), dtype=np.uint8)
+    u = rng.integers(0, 256, (n, ch, cw), dtype=np.uint8)
+    v = rng.integers(0, 256, (n, ch, cw), dtype=np.uint8)
+    raw = b"".join(
+        p.tobytes() for k in range(n) for p in (y[k], u[k], v[k])
+    )
+
+    sink = _Sink()
+    spawned = []
+
+    def fake_popen(cmd, stdout=None, stdin=None):
+        spawned.append((cmd, stdout is not None, stdin is not None))
+        if stdout is not None:
+            return _FakeProc(stdout=io.BytesIO(raw))
+        return _FakeProc(stdin=sink if stdin is not None else None)
+
+    monkeypatch.setattr(wrap.subprocess, "Popen", fake_popen)
+    monkeypatch.setattr(video, "have_ffmpeg", lambda: True)
+    monkeypatch.setattr(
+        video, "_probe_ffmpeg", lambda path: (w, h, 30.0, "yuv420p")
+    )
+
+    rc = wrap.main(
+        ["-y", "-i", "in.mp4", "-vf", f"transform360={VF}", "t.mp4",
+         "-c:v", "libx265", "-an", "copy.mp4"]
+    )
+    assert rc == 0
+    assert len(spawned) == 3
+    extras = [c for c, has_out, has_in in spawned
+              if not has_out and not has_in]
+    assert extras == [["ffmpeg", "-v", "error", "-nostdin", "-y",
+                       "-i", "in.mp4", "-c:v", "libx265", "-an",
+                       "copy.mp4"]]
+    ey, eu, ev = open_filter(VF, w, h).transform(y, u, v)
+    want = b"".join(
+        np.asarray(p).tobytes()
+        for k in range(n)
+        for p in (ey[k], eu[k], ev[k])
+    )
+    assert sink.getvalue() == want
+
+
 def test_wrapper_end_to_end_multichain_fake_pipes(rng, monkeypatch):
     """Full wrapper run through the MULTI-chain -filter_complex path: the
     transform stream is cut out of the graph, piped through the real TPU
