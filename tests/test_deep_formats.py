@@ -55,7 +55,9 @@ def _psnr(a, b, peak):
     return 10 * np.log10(peak**2 / mse) if mse else 99.0
 
 
-@pytest.mark.parametrize("pix_fmt", ["yuv420p10le", "yuv444p12le"])
+@pytest.mark.parametrize(
+    "pix_fmt", ["yuv420p10le", "yuv444p12le", "yuv420p16le"]
+)
 def test_deep_parity_vs_oracle(pix_fmt, rng):
     pf = get_pixel_format(pix_fmt)
     cfg = TransformConfig(**MONO)  # cubic + adaptive prefilter defaults

@@ -167,13 +167,34 @@ def test_probe_decoded_parses_ffmpeg_output(monkeypatch):
 
 def test_pipe_format_registry_and_fallback(capsys):
     # registry formats pass through; yuvj names map to the byte-identical
-    # yuv twin; packed/semi-planar formats fall back to yuv420p, loudly
+    # yuv twin; packed formats fall back to yuv420p, loudly
     assert wrap.pipe_format("yuv444p") == "yuv444p"
     assert wrap.pipe_format("yuvj422p") == "yuv422p"
     assert wrap.pipe_format("gbrp") == "gbrp"
+    assert wrap.pipe_format("yuv420p10le") == "yuv420p10le"
     assert capsys.readouterr().err == ""
-    assert wrap.pipe_format("nv12") == "yuv420p"
-    assert "nv12" in capsys.readouterr().err
+    assert wrap.pipe_format("rgb24") == "yuv420p"
+    assert "warning" in capsys.readouterr().err
+
+
+def test_pipe_format_lossless_deep_twins(capsys):
+    """Semi-planar / big-endian / 9-14-bit formats pipe as their
+    information-preserving planar LE twin, not down to 8-bit."""
+    cases = {
+        "nv12": "yuv420p",            # 8-bit semi-planar: lossless
+        "p010le": "yuv420p10le",      # hardware-decoder 10-bit staple
+        "p016le": "yuv420p16le",
+        "yuv420p10be": "yuv420p10le",  # byte-order swap
+        "yuv444p12be": "yuv444p12le",
+        "yuv420p9le": "yuv420p10le",   # left-shift promotions
+        "yuv422p14le": "yuv422p16le",
+        "yuv420p14be": "yuv420p16le",  # be -> le -> promote
+        "gray16be": "gray16le",
+    }
+    for src, want in cases.items():
+        assert wrap.pipe_format(src) == want, src
+    err = capsys.readouterr().err
+    assert "warning" not in err and "information-preserving" in err
 
 
 def test_extract_t360_opts(monkeypatch):

@@ -495,6 +495,9 @@ PIXEL_FORMATS = {
         PixelFormat("yuv420p12le", 3, 1, 1, depth=12),
         PixelFormat("yuv422p12le", 3, 1, 0, depth=12),
         PixelFormat("yuv444p12le", 3, 0, 0, depth=12),
+        PixelFormat("yuv420p16le", 3, 1, 1, depth=16),
+        PixelFormat("yuv422p16le", 3, 1, 0, depth=16),
+        PixelFormat("yuv444p16le", 3, 0, 0, depth=16),
         PixelFormat("gray10le", 1, 0, 0, depth=10),
         PixelFormat("gray12le", 1, 0, 0, depth=12),
         PixelFormat("gray16le", 1, 0, 0, depth=16),

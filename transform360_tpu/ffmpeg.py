@@ -654,6 +654,26 @@ def probe_decoded_complex(inputs, cs: "ComplexSplit"):
     )
 
 
+# Information-preserving pipe conversions for formats the pipeline does
+# not process directly: ffmpeg's swscale performs them without losing
+# sample information (semi-planar -> planar re-arranges bytes; 9->10 and
+# 14->16 bit are left shifts).  Big-endian twins are handled generically
+# (byte-order swap to the registered *le form).
+LOSSLESS_PIPE = {
+    "nv12": "yuv420p", "nv21": "yuv420p",          # 8-bit semi-planar
+    "p010le": "yuv420p10le", "p010be": "yuv420p10le",  # 10-bit semi-planar
+    "p210le": "yuv422p10le", "p410le": "yuv444p10le",
+    "p012le": "yuv420p12le", "p212le": "yuv422p12le",
+    "p016le": "yuv420p16le", "p216le": "yuv422p16le",
+    "p416le": "yuv444p16le",
+    "yuv420p9le": "yuv420p10le", "yuv422p9le": "yuv422p10le",
+    "yuv444p9le": "yuv444p10le",
+    "yuv420p14le": "yuv420p16le", "yuv422p14le": "yuv422p16le",
+    "yuv444p14le": "yuv444p16le",
+    "gray9le": "gray10le", "gray14le": "gray16le",
+}
+
+
 def pipe_format(src_fmt: str) -> str:
     """Raw-pipe pixel format for a probed source format.
 
@@ -662,11 +682,14 @@ def pipe_format(src_fmt: str) -> str:
     shifts from the descriptor (``vf_transform360.c:87-97,107-108``).
     Formats in the pipeline's registry pass through losslessly (yuvj*
     renamed to their byte-identical yuv* twin — the rawvideo pipe has no
-    JPEG-range tag), INCLUDING the 10/12-bit ``*le`` planar formats,
+    JPEG-range tag), INCLUDING the 10/12/16-bit ``*le`` planar formats,
     which the pipeline computes natively in 16-bit containers (beyond
     the reference, which wraps planes as CV_8U bytes and corrupts them —
-    ``VideoFrameTransform.cpp:1331-1335``); anything else (packed,
-    semi-planar, alpha) converts to yuv420p with a loud warning.
+    ``VideoFrameTransform.cpp:1331-1335``).  Formats with a lossless
+    registered twin — semi-planar (nv12/p010le, the hardware-decoder
+    staples), big-endian, and 9/14-bit — convert to it at the pipe,
+    preserving full sample depth.  Anything else (packed RGB, alpha)
+    converts to yuv420p with a loud warning.
     """
     from .config import PIXEL_FORMATS
 
@@ -675,9 +698,21 @@ def pipe_format(src_fmt: str) -> str:
         fmt = "yuv" + fmt[4:]
     if fmt in PIXEL_FORMATS:
         return fmt
+    le = fmt[:-2] + "le" if fmt.endswith("be") else None
+    target = LOSSLESS_PIPE.get(fmt) or (
+        le if le in PIXEL_FORMATS else LOSSLESS_PIPE.get(le or "")
+    )
+    if target:
+        print(
+            f"info: pix_fmt {src_fmt!r} pipes as {target!r} "
+            "(information-preserving conversion at the decode pipe)",
+            file=sys.stderr,
+        )
+        return target
     print(
-        f"warning: pix_fmt {src_fmt!r} is outside the TPU pipeline's "
-        "planar-8-bit registry; converting to yuv420p at the decode pipe",
+        f"warning: pix_fmt {src_fmt!r} has no lossless planar twin in "
+        "the pipeline's registry; converting to yuv420p at the decode "
+        "pipe",
         file=sys.stderr,
     )
     return "yuv420p"
