@@ -56,7 +56,8 @@ def _psnr(a, b, peak):
 
 
 @pytest.mark.parametrize(
-    "pix_fmt", ["yuv420p10le", "yuv444p12le", "yuv420p16le"]
+    "pix_fmt",
+    ["yuv420p10le", "yuv444p12le", "yuv420p16le", "gbrp10le"],
 )
 def test_deep_parity_vs_oracle(pix_fmt, rng):
     pf = get_pixel_format(pix_fmt)

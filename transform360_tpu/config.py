@@ -501,6 +501,9 @@ PIXEL_FORMATS = {
         PixelFormat("gray10le", 1, 0, 0, depth=10),
         PixelFormat("gray12le", 1, 0, 0, depth=12),
         PixelFormat("gray16le", 1, 0, 0, depth=16),
+        PixelFormat("gbrp10le", 3, 0, 0, depth=10),
+        PixelFormat("gbrp12le", 3, 0, 0, depth=12),
+        PixelFormat("gbrp16le", 3, 0, 0, depth=16),
     )
 }
 PIXEL_FORMATS["gray8"] = PIXEL_FORMATS["gray"]
